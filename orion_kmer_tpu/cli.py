@@ -1,0 +1,173 @@
+"""Command-line interface.
+
+Mirrors the reference clap CLI (orion-kmer/src/cli.rs): five subcommands
+with the same flags, defaults, and required markings; global -t/--threads
+and -v verbosity (cli.rs:7-22); error handling mirrors main.rs:7-16
+(log outermost error, exit 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .errors import OrionKmerError
+from .utils import setup_logging
+from .version import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="orion-kmer-tpu",
+        description="TPU-native k-mer toolkit (capabilities of orion-kmer)",
+    )
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
+    p.add_argument(
+        "-t",
+        "--threads",
+        type=int,
+        default=0,
+        help="Number of host worker threads (0 for all logical cores)",
+    )
+    p.add_argument(
+        "-v",
+        "--verbose",
+        action="count",
+        default=0,
+        help="Verbosity level (e.g., -v, -vv)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    # count (cli.rs:38-61)
+    c = sub.add_parser("count", help="Count k-mers in FASTA/FASTQ files")
+    c.add_argument("-k", "--kmer-size", type=int, required=True, help="The length of the k-mer")
+    c.add_argument(
+        "-i",
+        "--input-files",
+        nargs="+",
+        action="extend",
+        required=True,
+        help="One or more input FASTA/FASTQ files (.gz/.xz/.zst supported)",
+    )
+    c.add_argument(
+        "-o",
+        "--output-file",
+        required=True,
+        help="Output file for k-mer counts (kmer<TAB>count)",
+    )
+    c.add_argument(
+        "-m", "--min-count", type=int, default=1, help="Minimum count to report a k-mer"
+    )
+
+    # build (cli.rs:63-78)
+    b = sub.add_parser("build", help="Build a unique k-mer database from genome assemblies")
+    b.add_argument("-k", "--kmer-size", type=int, required=True, help="The length of the k-mer")
+    b.add_argument(
+        "-g",
+        "--genomes",
+        dest="genome_files",
+        nargs="+",
+        action="extend",
+        required=True,
+        help="One or more input genome assembly files (FASTA)",
+    )
+    b.add_argument(
+        "-o", "--output-file", required=True, help="Output path for the binary k-mer database"
+    )
+
+    # compare (cli.rs:80-95)
+    cp = sub.add_parser("compare", help="Compare two k-mer databases")
+    cp.add_argument("--db1", required=True, help="First k-mer database file")
+    cp.add_argument("--db2", required=True, help="Second k-mer database file")
+    cp.add_argument(
+        "-o", "--output-file", required=True, help="Output file for comparison stats (JSON)"
+    )
+
+    # query (cli.rs:97-130)
+    q = sub.add_parser("query", help="Query short reads against a k-mer database")
+    q.add_argument(
+        "-d", "--database", dest="database_file", required=True, help="K-mer database"
+    )
+    q.add_argument(
+        "-r", "--reads", dest="reads_file", required=True, help="Short-read file (FASTQ)"
+    )
+    q.add_argument(
+        "-o", "--output-file", required=True, help="Output file for matching read IDs"
+    )
+    q.add_argument(
+        "-c",
+        "--min-hits",
+        type=int,
+        default=1,
+        help="Minimum number of k-mer hits to report a read",
+    )
+
+    # classify (cli.rs:132-185)
+    cl = sub.add_parser(
+        "classify",
+        help="Classify sequences against k-mer databases and report coverage statistics",
+    )
+    cl.add_argument("-i", "--input-file", required=True, help="Input FASTA/FASTQ file")
+    cl.add_argument(
+        "-d",
+        "--databases",
+        dest="database_files",
+        nargs="+",
+        action="extend",
+        required=True,
+        help="One or more k-mer database files (.db)",
+    )
+    cl.add_argument(
+        "-o", "--output-file", required=True, help="Output file for classification JSON"
+    )
+    cl.add_argument(
+        "-k",
+        "--kmer-size",
+        type=int,
+        default=None,
+        help="Optional k-mer size to validate against databases",
+    )
+    cl.add_argument(
+        "--min-kmer-frequency",
+        type=int,
+        default=1,
+        help="Minimum input k-mer frequency for depth calculation",
+    )
+    cl.add_argument(
+        "--min-coverage",
+        type=float,
+        default=0.0,
+        help="Minimum reference breadth of coverage to include a reference",
+    )
+    cl.add_argument(
+        "--output-tsv", default=None, help="Optional TSV summary output path"
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.verbose)
+
+    from .commands import build, classify, compare, count, query
+
+    dispatch = {
+        "count": count.run_count,
+        "build": build.run_build,
+        "compare": compare.run_compare,
+        "query": query.run_query,
+        "classify": classify.run_classify,
+    }
+    try:
+        dispatch[args.command](args)
+    except OrionKmerError as e:
+        print(f"[ERROR orion_kmer_tpu] Error: {e}", file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"[ERROR orion_kmer_tpu] Error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,280 @@
+"""Batched host<->device execution pipeline.
+
+The host packs FASTA/FASTQ records into fixed-shape 2-bit code tensors
+(records separated by k-1 invalid positions so no window spans two
+records; long records are split with a (k-1)-base halo so every window is
+produced exactly once -- the k-mer analog of blockwise context
+parallelism, see SURVEY.md section 5).  The device extracts canonical
+k-mers, sorts, and run-length-encodes each batch; the host merges the
+per-batch sorted uniques with one final vectorized numpy reduction.
+
+Shapes are padded to power-of-two buckets so XLA compiles each kernel a
+bounded number of times.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import codec
+from .ingest.fastx import Record, parse_fastx_file
+from .ops.count import count_kmers, hits_per_read
+from .ops.kmers import extract_canonical, join_u64, split_u64
+from .ops.setops import membership
+
+# Positions per device batch.  TPU batches are large to amortize dispatch;
+# CPU (tests) round down hard via bucketing anyway.
+DEFAULT_BATCH = int(os.environ.get("ORION_KMER_BATCH", 1 << 22))
+_MIN_BUCKET = 4096
+_READS_BUCKET = 4096
+
+
+def _bucket(n: int, minimum: int = _MIN_BUCKET) -> int:
+    return max(minimum, 1 << max(n - 1, 1).bit_length())
+
+
+def _pad(arr: np.ndarray, size: int, fill) -> np.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    out = np.full(size, fill, dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+class PackedBatch(NamedTuple):
+    codes: np.ndarray  # uint8 [n]
+    invalid: np.ndarray  # bool [n]
+    owner: np.ndarray | None  # int32 [n]: local record index per position
+    first_rid: int  # global index of local record 0
+    record_ids: list[bytes] | None  # ids of records present in this batch
+
+
+def iter_packed_batches(
+    records: Iterable[Record],
+    k: int,
+    normalize: bool = True,
+    batch_positions: int = DEFAULT_BATCH,
+    with_owner: bool = False,
+) -> Iterator[PackedBatch]:
+    """Pack records into batches of 2-bit codes with separators/halos.
+
+    A record longer than the remaining batch space is split with a
+    (k-1)-position halo; it then appears in multiple batches under the
+    same global record index (= first_rid + local owner), and callers
+    must sum per-record statistics across batches.
+    """
+    sep = k - 1
+    sep_arr = np.full(sep, codec.INVALID_CODE, dtype=np.uint8)
+
+    parts: list[np.ndarray] = []
+    owners: list[np.ndarray] = []
+    batch_ids: list[bytes] = []
+    batch_first_rid = 0
+    used = 0
+    global_rid = -1
+
+    def make_batch() -> PackedBatch:
+        codes = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        owner = None
+        if with_owner:
+            owner = np.concatenate(owners) if len(owners) > 1 else owners[0]
+        return PackedBatch(
+            codes=codes,
+            invalid=codes == codec.INVALID_CODE,
+            owner=owner,
+            first_rid=batch_first_rid,
+            record_ids=list(batch_ids) if with_owner else None,
+        )
+
+    for rec in records:
+        global_rid += 1
+        if with_owner:
+            batch_ids.append(rec.id)
+        rcodes = codec.seq_to_codes(rec.seq, normalize=normalize)
+        pos = 0
+        while True:
+            if used >= batch_positions:
+                yield make_batch()
+                parts, owners, used = [], [], 0
+                batch_first_rid = global_rid
+                batch_ids = [rec.id] if with_owner else []
+            room = batch_positions - used
+            take = min(len(rcodes) - pos, max(room, k))
+            piece = rcodes[pos : pos + take]
+            parts.append(piece)
+            if with_owner:
+                owners.append(
+                    np.full(len(piece), global_rid - batch_first_rid, dtype=np.int32)
+                )
+            used += len(piece)
+            if pos + take >= len(rcodes):
+                break
+            pos = pos + take - (k - 1)  # halo: boundary windows produced once
+        # separator so no window spans into the next record
+        parts.append(sep_arr)
+        if with_owner:
+            owners.append(np.full(sep, global_rid - batch_first_rid, dtype=np.int32))
+        used += sep
+
+    if parts:
+        yield make_batch()
+
+
+class CountAccumulator:
+    """Merge per-batch sorted (vals, counts) pairs; single final reduce."""
+
+    def __init__(self):
+        self._vals: list[np.ndarray] = []
+        self._counts: list[np.ndarray] = []
+
+    def add(self, vals: np.ndarray, counts: np.ndarray) -> None:
+        if vals.shape[0]:
+            self._vals.append(vals)
+            self._counts.append(counts.astype(np.int64))
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self._vals:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        if len(self._vals) == 1:
+            return self._vals[0], self._counts[0]
+        vals = np.concatenate(self._vals)
+        counts = np.concatenate(self._counts)
+        order = np.argsort(vals, kind="stable")
+        sv, sc = vals[order], counts[order]
+        head = np.empty(sv.shape[0], dtype=bool)
+        head[0] = True
+        np.not_equal(sv[1:], sv[:-1], out=head[1:])
+        idx = np.flatnonzero(head)
+        return sv[idx], np.add.reduceat(sc, idx)
+
+
+def _count_batch_device(codes: np.ndarray, invalid: np.ndarray, k: int):
+    """One device round-trip: extract + canonicalize + sort + RLE."""
+    n = codes.shape[0]
+    size = _bucket(n)
+    codes_p = _pad(codes, size, 0)
+    invalid_p = _pad(invalid, size, True)
+    hi, lo, valid = extract_canonical(jnp.asarray(codes_p), jnp.asarray(invalid_p), k)
+    uhi, ulo, cnt, nu = count_kmers(hi, lo, valid)
+    nu = int(nu)
+    uhi = np.asarray(uhi[:nu])
+    ulo = np.asarray(ulo[:nu])
+    cnt = np.asarray(cnt[:nu])
+    return join_u64(uhi, ulo), cnt
+
+
+def count_records(
+    records: Iterable[Record], k: int, normalize: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical k-mer counts over a record stream -> (vals, counts)."""
+    acc = CountAccumulator()
+    for batch in iter_packed_batches(records, k, normalize=normalize):
+        vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
+        acc.add(vals, cnt)
+    return acc.result()
+
+
+def count_file(path, k: int) -> tuple[np.ndarray, np.ndarray]:
+    return count_records(parse_fastx_file(path), k)
+
+
+def unique_from_file(path, k: int) -> np.ndarray:
+    """Unique canonical k-mers of one genome file (build.rs:23-78)."""
+    vals, _ = count_file(path, k)
+    return vals
+
+
+def query_records(
+    db_vals: np.ndarray,
+    records: Iterable[Record],
+    k: int,
+    min_hits: int,
+) -> list[bytes]:
+    """IDs of reads with >= min_hits matching windows (multiplicity
+    counted, query.rs:87-103).  Reads shorter than k never match.
+    Output preserves input read order (query.rs:119-123)."""
+    dbh, dbl = split_u64(db_vals)
+    db_n = dbh.shape[0]
+    db_size = _bucket(db_n, minimum=1)
+    db_hi = jax.device_put(jnp.asarray(_pad(dbh, db_size, 0)))
+    db_lo = jax.device_put(jnp.asarray(_pad(dbl, db_size, 0)))
+    db_valid = jax.device_put(
+        jnp.asarray(_pad(np.ones(db_n, dtype=bool), db_size, False))
+    )
+
+    all_ids: dict[int, bytes] = {}
+    all_hits: dict[int, int] = {}
+    # note: query uses RAW read bytes -- no normalization (query.rs:80-81)
+    for batch in iter_packed_batches(records, k, normalize=False, with_owner=True):
+        n = batch.codes.shape[0]
+        size = _bucket(n)
+        codes_p = jnp.asarray(_pad(batch.codes, size, 0))
+        invalid_p = jnp.asarray(_pad(batch.invalid, size, True))
+        owner_p = jnp.asarray(_pad(batch.owner, size, len(batch.record_ids)))
+        hi, lo, valid = extract_canonical(codes_p, invalid_p, k)
+        member = membership(hi, lo, valid, db_hi, db_lo, db_valid)
+        nr = len(batch.record_ids)
+        nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
+        hits = np.asarray(hits_per_read(member, owner_p, nr_bucket))
+        for local, rid_bytes in enumerate(batch.record_ids):
+            grid = batch.first_rid + local
+            all_ids[grid] = rid_bytes
+            all_hits[grid] = all_hits.get(grid, 0) + int(hits[local])
+    return [all_ids[g] for g in sorted(all_ids) if all_hits[g] >= min_hits]
+
+
+def membership_and_depth(
+    input_vals: np.ndarray,
+    input_counts: np.ndarray,
+    ref_vals: np.ndarray,
+) -> tuple[int, int, np.ndarray]:
+    """classify helper: how many unique input k-mers hit the reference
+    set, and their summed input depth (classify.rs:230-236).
+
+    Returns (n_matched, sum_depth, member_mask over input_vals).
+    """
+    n = input_vals.shape[0]
+    if n == 0 or ref_vals.shape[0] == 0:
+        return 0, 0, np.zeros(n, dtype=bool)
+    qh, ql = split_u64(input_vals)
+    rh, rl = split_u64(ref_vals)
+    qs = _bucket(n, minimum=1)
+    rs = _bucket(ref_vals.shape[0], minimum=1)
+    member = membership(
+        jnp.asarray(_pad(qh, qs, 0)),
+        jnp.asarray(_pad(ql, qs, 0)),
+        jnp.asarray(_pad(np.ones(n, bool), qs, False)),
+        jnp.asarray(_pad(rh, rs, 0)),
+        jnp.asarray(_pad(rl, rs, 0)),
+        jnp.asarray(_pad(np.ones(ref_vals.shape[0], bool), rs, False)),
+    )
+    mask = np.asarray(member)[:n]
+    n_matched = int(mask.sum())
+    sum_depth = int(input_counts[mask].sum())
+    return n_matched, sum_depth, mask
+
+
+def intersection_size_host(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact |A ∩ B| via the device sort-merge join (compare.rs:58)."""
+    from .ops.setops import intersection_size
+
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return 0
+    ah, al = split_u64(a)
+    bh, bl = split_u64(b)
+    asz = _bucket(a.shape[0], minimum=1)
+    bsz = _bucket(b.shape[0], minimum=1)
+    res = intersection_size(
+        jnp.asarray(_pad(ah, asz, 0)),
+        jnp.asarray(_pad(al, asz, 0)),
+        jnp.asarray(_pad(np.ones(a.shape[0], bool), asz, False)),
+        jnp.asarray(_pad(bh, bsz, 0)),
+        jnp.asarray(_pad(bl, bsz, 0)),
+        jnp.asarray(_pad(np.ones(b.shape[0], bool), bsz, False)),
+    )
+    return int(res)

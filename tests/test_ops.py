@@ -1,0 +1,165 @@
+"""Device kernels (ops/) validated bit-exactly against the host codec oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orion_kmer_tpu import codec
+from orion_kmer_tpu.ops import count as ops_count
+from orion_kmer_tpu.ops import kmers as ops_kmers
+from orion_kmer_tpu.ops import setops as ops_setops
+
+
+def _random_codes(rng, n, alphabet=b"ACGTNacgt"):
+    seq = rng.choice(list(alphabet), size=n).astype(np.uint8).tobytes()
+    codes = codec.seq_to_codes(seq, normalize=True)
+    return codes, codes == codec.INVALID_CODE
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 7, 15, 16, 17, 21, 27, 31, 32])
+def test_extract_canonical_matches_oracle(k):
+    rng = np.random.default_rng(k)
+    codes, invalid = _random_codes(rng, 500)
+    ref = codec.extract_kmers_np(codes, k, canonical=True)
+    hi, lo, valid = ops_kmers.extract_canonical(jnp.asarray(codes), jnp.asarray(invalid), k)
+    hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+    got = ops_kmers.join_u64(hi[valid], lo[valid])
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("k", [1, 16, 17, 32])
+def test_extract_noncanonical_matches_oracle(k):
+    rng = np.random.default_rng(100 + k)
+    codes, invalid = _random_codes(rng, 300)
+    ref = codec.extract_kmers_np(codes, k, canonical=False)
+    hi, lo, valid = ops_kmers.extract_canonical(
+        jnp.asarray(codes), jnp.asarray(invalid), k, canonical=False
+    )
+    got = ops_kmers.join_u64(np.asarray(hi)[np.asarray(valid)], np.asarray(lo)[np.asarray(valid)])
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("k", [2, 16, 31])
+def test_rc_pair_matches_oracle(k):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << min(2 * k, 63), size=200, dtype=np.uint64)
+    hi, lo = ops_kmers.split_u64(vals)
+    rhi, rlo = ops_kmers.reverse_complement_pair(jnp.asarray(hi), jnp.asarray(lo), k)
+    got = ops_kmers.join_u64(np.asarray(rhi), np.asarray(rlo))
+    np.testing.assert_array_equal(got, codec.reverse_complement_u64(vals, k))
+
+
+def test_short_sequence_yields_nothing():
+    codes = codec.seq_to_codes(b"ACG")
+    hi, lo, valid = ops_kmers.extract_canonical(
+        jnp.asarray(codes), jnp.asarray(codes == codec.INVALID_CODE), 5
+    )
+    assert not np.asarray(valid).any()
+
+
+@pytest.mark.parametrize("k", [3, 21])
+def test_count_kmers_matches_numpy(k):
+    rng = np.random.default_rng(k)
+    codes, invalid = _random_codes(rng, 2000, alphabet=b"ACGTN")
+    ref_vals = codec.extract_kmers_np(codes, k)
+    exp_vals, exp_counts = np.unique(ref_vals, return_counts=True)
+    hi, lo, valid = ops_kmers.extract_canonical(jnp.asarray(codes), jnp.asarray(invalid), k)
+    uhi, ulo, cnt, nu = ops_count.count_kmers(hi, lo, valid)
+    nu = int(nu)
+    got_vals = ops_kmers.join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu])
+    np.testing.assert_array_equal(got_vals, exp_vals)
+    np.testing.assert_array_equal(np.asarray(cnt)[:nu], exp_counts)
+
+
+def test_count_all_invalid():
+    codes = np.full(64, codec.INVALID_CODE, dtype=np.uint8)
+    hi, lo, valid = ops_kmers.extract_canonical(
+        jnp.asarray(codes), jnp.asarray(codes == codec.INVALID_CODE), 4
+    )
+    _, _, _, nu = ops_count.count_kmers(hi, lo, valid)
+    assert int(nu) == 0
+
+
+class TestMembership:
+    def test_against_numpy_isin(self):
+        rng = np.random.default_rng(3)
+        db = np.unique(rng.integers(0, 2**64, size=300, dtype=np.uint64))
+        q = np.concatenate(
+            [db[::3], rng.integers(0, 2**64, size=200, dtype=np.uint64)]
+        )
+        rng.shuffle(q)
+        dh, dl = ops_kmers.split_u64(db)
+        qh, ql = ops_kmers.split_u64(q)
+        got = np.asarray(
+            ops_setops.membership(
+                jnp.asarray(qh),
+                jnp.asarray(ql),
+                jnp.ones(len(q), bool),
+                jnp.asarray(dh),
+                jnp.asarray(dl),
+                jnp.ones(len(db), bool),
+            )
+        )
+        np.testing.assert_array_equal(got, np.isin(q, db))
+
+    def test_invalid_queries_never_match(self):
+        db = np.array([5, 10], dtype=np.uint64)
+        q = np.array([5, 10, 7], dtype=np.uint64)
+        dh, dl = ops_kmers.split_u64(db)
+        qh, ql = ops_kmers.split_u64(q)
+        got = np.asarray(
+            ops_setops.membership(
+                jnp.asarray(qh),
+                jnp.asarray(ql),
+                jnp.asarray(np.array([True, False, True])),
+                jnp.asarray(dh),
+                jnp.asarray(dl),
+                jnp.ones(2, bool),
+            )
+        )
+        assert got.tolist() == [True, False, False]
+
+    def test_db_padding_not_member(self):
+        # sentinel-padded db slots must not match sentinel-masked queries
+        db = np.array([5], dtype=np.uint64)
+        dh = np.array([0, 0xFFFFFFFF], dtype=np.uint32)
+        dl = np.array([5, 0xFFFFFFFF], dtype=np.uint32)
+        qh = np.array([0xFFFFFFFF], dtype=np.uint32)
+        ql = np.array([0xFFFFFFFF], dtype=np.uint32)
+        got = np.asarray(
+            ops_setops.membership(
+                jnp.asarray(qh),
+                jnp.asarray(ql),
+                jnp.zeros(1, bool),
+                jnp.asarray(dh),
+                jnp.asarray(dl),
+                jnp.asarray(np.array([True, False])),
+            )
+        )
+        assert not got[0]
+
+
+def test_intersection_size():
+    rng = np.random.default_rng(9)
+    a = np.unique(rng.integers(0, 1000, size=400, dtype=np.uint64))
+    b = np.unique(rng.integers(500, 1500, size=400, dtype=np.uint64))
+    ah, al = ops_kmers.split_u64(a)
+    bh, bl = ops_kmers.split_u64(b)
+    got = int(
+        ops_setops.intersection_size(
+            jnp.asarray(ah),
+            jnp.asarray(al),
+            jnp.ones(len(a), bool),
+            jnp.asarray(bh),
+            jnp.asarray(bl),
+            jnp.ones(len(b), bool),
+        )
+    )
+    assert got == len(np.intersect1d(a, b))
+
+
+def test_hits_per_read():
+    member = jnp.asarray(np.array([1, 1, 0, 1, 1, 0], dtype=bool))
+    owner = jnp.asarray(np.array([0, 0, 0, 1, 2, 2], dtype=np.int32))
+    hits = np.asarray(ops_count.hits_per_read(member, owner, 4))
+    assert hits[:3].tolist() == [2, 1, 1]
