@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark: canonical k-mer counting throughput (BASELINE.json metric).
+
+Measures the flagship device pipeline -- 2-bit packed bases -> rolling
+canonical k-mer extraction -> sort -> run-length-encoded counts -- at
+k=31 on synthetic uniform-random sequence, on whatever accelerator JAX
+selects (the driver runs this on one real TPU chip).
+
+vs_baseline: the reference (motroy/orion-kmer) publishes no numbers
+(BASELINE.md), and its Rust toolchain is not present in this image, so
+the ratio is against a measured single-core CPU proxy: the numpy
+implementation of the identical semantics (codec.extract_kmers_np +
+np.unique), which mirrors the reference's single-threaded count loop
+(count.rs:68-79 is serial).  The proxy's throughput is measured in the
+same process and printed alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+K = 31
+DEVICE_N = 1 << 24  # positions per device step (16M)
+CPU_PROXY_N = 1 << 21  # positions for the CPU proxy measurement (2M)
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.ops.count import count_kmers
+    from orion_kmer_tpu.ops.kmers import extract_canonical
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=DEVICE_N, dtype=np.uint8)
+    invalid = np.zeros(DEVICE_N, dtype=bool)
+    invalid[rng.random(DEVICE_N) < 0.001] = True  # sparse N's
+
+    @jax.jit
+    def step(c, i):
+        hi, lo, valid = extract_canonical(c, i, K)
+        return count_kmers(hi, lo, valid)
+
+    dc = jax.device_put(jnp.asarray(codes))
+    di = jax.device_put(jnp.asarray(invalid))
+
+    # compile + warmup
+    out = step(dc, di)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(dc, di)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    n_windows = DEVICE_N - K + 1
+    device_kmers_per_s = n_windows / dt
+
+    # CPU proxy (single-core numpy, identical semantics)
+    proxy_codes = codes[:CPU_PROXY_N]
+    t0 = time.perf_counter()
+    vals = codec.extract_kmers_np(proxy_codes, K)
+    np.unique(vals, return_counts=True)
+    cpu_dt = time.perf_counter() - t0
+    cpu_kmers_per_s = (CPU_PROXY_N - K + 1) / cpu_dt
+
+    result = {
+        "metric": f"canonical k-mers/sec/chip (k={K}, sort+RLE count)",
+        "value": round(device_kmers_per_s, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(device_kmers_per_s / cpu_kmers_per_s, 3),
+        "baseline_def": "single-core numpy proxy of the reference's serial count loop, measured in-process",
+        "cpu_proxy_kmers_per_s": round(cpu_kmers_per_s, 1),
+        "device": str(jax.devices()[0]),
+        "step_seconds": round(dt, 4),
+        "positions_per_step": DEVICE_N,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

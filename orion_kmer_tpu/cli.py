@@ -142,6 +142,32 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument(
         "--output-tsv", default=None, help="Optional TSV summary output path"
     )
+
+    # sketch (new capability: FracMinHash, BASELINE.json config 3)
+    sk = sub.add_parser("sketch", help="FracMinHash sketch of FASTA/FASTQ files")
+    sk.add_argument("-k", "--kmer-size", type=int, required=True)
+    sk.add_argument(
+        "-i", "--input-files", nargs="+", action="extend", required=True,
+        help="Input FASTA/FASTQ files (one sketch per file)",
+    )
+    sk.add_argument("-o", "--output-file", required=True, help="Output .sig JSON")
+    sk.add_argument(
+        "--scaled", type=int, default=1000,
+        help="Keep k-mers with hash < 2^64/scaled (FracMinHash)",
+    )
+    sk.add_argument(
+        "--num", type=int, default=0,
+        help="Optional bottom-N MinHash cap on top of the scaled filter",
+    )
+
+    skc = sub.add_parser(
+        "sketch-compare", help="Pairwise Jaccard/containment between sketches"
+    )
+    skc.add_argument(
+        "-s", "--sketches", dest="sketch_files", nargs="+", action="extend",
+        required=True, help="Sketch .sig files",
+    )
+    skc.add_argument("-o", "--output-file", required=True, help="Output JSON")
     return p
 
 
@@ -149,7 +175,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
 
-    from .commands import build, classify, compare, count, query
+    from .commands import build, classify, compare, count, query, sketch
 
     dispatch = {
         "count": count.run_count,
@@ -157,6 +183,8 @@ def main(argv=None) -> int:
         "compare": compare.run_compare,
         "query": query.run_query,
         "classify": classify.run_classify,
+        "sketch": sketch.run_sketch,
+        "sketch-compare": sketch.run_sketch_compare,
     }
     try:
         dispatch[args.command](args)

@@ -1,0 +1,136 @@
+"""sketch / sketch-compare commands (FracMinHash; BASELINE.json config 3).
+
+No reference-CLI counterpart exists (the reference has no sketching);
+the signature file is a small JSON document:
+
+  {"format": "orion-kmer-tpu-sketch", "version": 1, "k": 31,
+   "scaled": 1000, "num": 0,
+   "sketches": [{"name": ..., "hashes": [...], "abundances": [...]}]}
+
+Hashes are splitmix64 of the canonical k-mer, decimal-encoded strings
+(JSON numbers lose precision above 2^53).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import CountAccumulator, _bucket, _pad, iter_packed_batches
+from ..errors import ContextError, validate_k
+from ..ingest.compress import TextOut, read_bytes
+from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ops.kmers import join_u64
+from ..ops.sketch import sketch_batch, sketch_compare
+from ..utils import track_progress_and_resources
+
+logger = logging.getLogger("orion_kmer_tpu.sketch")
+
+
+def sketch_file(path, k: int, scaled: int, num: int = 0):
+    """FracMinHash sketch of one FASTA/FASTQ file -> (hashes, abundances)."""
+    acc = CountAccumulator()
+    records = parse_fastx_file(path)
+    for batch in iter_packed_batches(records, k, normalize=True):
+        n = batch.codes.shape[0]
+        size = _bucket(n)
+        uhi, ulo, cnt, nu = sketch_batch(
+            jnp.asarray(_pad(batch.codes, size, 0)),
+            jnp.asarray(_pad(batch.invalid, size, True)),
+            k,
+            scaled,
+        )
+        nu = int(nu)
+        acc.add(join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu]), np.asarray(cnt)[:nu])
+    hashes, abund = acc.result()
+    if num and hashes.shape[0] > num:
+        # bottom-num MinHash on top of the scaled subsample
+        hashes, abund = hashes[:num], abund[:num]
+    return hashes, abund
+
+
+def run_sketch(args) -> None:
+    validate_k(args.kmer_size)
+    k = args.kmer_size
+
+    sketches = []
+
+    def task(pb):
+        for path in args.input_files:
+            pb.set_message(f"Sketching: {path}")
+            try:
+                hashes, abund = sketch_file(path, k, args.scaled, args.num)
+            except FastxParseError as e:
+                raise ContextError(f"Failed to open or parse file: {path}", e) from e
+            sketches.append(
+                {
+                    "name": str(path),
+                    "hashes": [str(h) for h in hashes.tolist()],
+                    "abundances": abund.tolist(),
+                }
+            )
+            pb.inc(1)
+
+    track_progress_and_resources("Sketching input files", len(args.input_files), task)
+
+    doc = {
+        "format": "orion-kmer-tpu-sketch",
+        "version": 1,
+        "k": k,
+        "scaled": args.scaled,
+        "num": args.num,
+        "sketches": sketches,
+    }
+    with TextOut(args.output_file) as f:
+        json.dump(doc, f, indent=2)
+    logger.info("Wrote %d sketches to %s", len(sketches), args.output_file)
+
+
+def load_sketch_file(path) -> dict:
+    try:
+        doc = json.loads(read_bytes(path))
+    except (ContextError, json.JSONDecodeError) as e:
+        raise ContextError(f"Failed to load sketch file: {path!r}", e) from e
+    if doc.get("format") != "orion-kmer-tpu-sketch":
+        raise ContextError(f"Not an orion-kmer-tpu sketch file: {path!r}")
+    return doc
+
+
+def run_sketch_compare(args) -> None:
+    docs = [load_sketch_file(p) for p in args.sketch_files]
+    k = docs[0]["k"]
+    scaled = docs[0]["scaled"]
+    for p, d in zip(args.sketch_files, docs):
+        if d["k"] != k or d["scaled"] != scaled:
+            raise ContextError(
+                f"Sketch parameter mismatch: {p!r} has k={d['k']} scaled={d['scaled']}, "
+                f"expected k={k} scaled={scaled}"
+            )
+    entries = []
+    for p, d in zip(args.sketch_files, docs):
+        for s in d["sketches"]:
+            entries.append(
+                (s["name"], np.array([int(h) for h in s["hashes"]], dtype=np.uint64))
+            )
+
+    pairs = []
+    for i in range(len(entries)):
+        for j in range(i + 1, len(entries)):
+            stats = sketch_compare(entries[i][1], entries[j][1])
+            stats["a"] = entries[i][0]
+            stats["b"] = entries[j][0]
+            pairs.append(stats)
+
+    out = {
+        "k": k,
+        "scaled": scaled,
+        "num_sketches": len(entries),
+        "pairs": pairs,
+    }
+    with TextOut(args.output_file) as f:
+        json.dump(out, f, indent=2)
+    logger.info("Wrote %d pairwise comparisons to %s", len(pairs), args.output_file)

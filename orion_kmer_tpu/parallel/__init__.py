@@ -1,0 +1,4 @@
+from .mesh import make_mesh
+from .sharded import make_sharded_count_step, sharded_count
+
+__all__ = ["make_mesh", "make_sharded_count_step", "sharded_count"]

@@ -1,0 +1,138 @@
+"""Hash-range-sharded multi-chip k-mer counting (shard_map + collectives).
+
+Step layout (SURVEY.md section 2.3, "TPU-native equivalent" column):
+
+  1. the packed position stream is sharded over the ``shard`` mesh axis
+     (data parallelism: each chip extracts canonical k-mers from its
+     slice with the same kernel as the single-chip path)
+  2. extracted k-mers are routed to their owner chip, where the owner of
+     a k-mer is determined by a hash range split of the mix32 keyspace
+     (tensor-parallel table partitioning)
+  3. each owner sorts + run-length-encodes its range locally -- the
+     per-chip outputs are globally disjoint, so no second reduction is
+     needed; scalar stats merge with psum
+
+Routing is currently implemented as all_gather + owner-range filter
+("route by replication"): exact, overflow-free, and ICI-friendly for the
+moderate batch sizes per step.  A capacity-bounded all_to_all fast path
+is the planned optimization once real multi-chip profiling is available.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..ops.count import count_kmers
+from ..ops.hash import mix32_pair
+from ..ops.kmers import extract_canonical, join_u64
+
+U32 = jnp.uint32
+
+
+def _owner_of(hi, lo, n_shards: int):
+    """Map a (hi, lo) k-mer to its owner shard via the top hash bits."""
+    h = mix32_pair(hi, lo)
+    # floor(h/2^16 * S / 2^16): uniform for any S without 64-bit math
+    return ((h >> U32(16)) * U32(n_shards)) >> U32(16)
+
+
+def make_sharded_count_step(mesh: Mesh, k: int):
+    """Build the jitted multi-chip count step for a (shard,) mesh.
+
+    Returns fn(codes uint8 [S*B], invalid bool [S*B]) ->
+      (uhi [S, S*B], ulo [S, S*B], counts [S, S*B], n_unique [S])
+    where row s holds the sorted unique k-mers owned by shard s.
+    """
+    n_shards = mesh.devices.size
+
+    def per_device(codes_blk, invalid_blk):
+        # [1, B] local block -> flatten
+        codes_blk = codes_blk.reshape(-1)
+        invalid_blk = invalid_blk.reshape(-1)
+        hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
+        # NOTE: windows at the tail of each block are invalid (the block
+        # boundary cuts them); the host feeds blocks with a (k-1) halo so
+        # every window is still produced exactly once.
+        ghi = jax.lax.all_gather(hi, "shard", tiled=True)
+        glo = jax.lax.all_gather(lo, "shard", tiled=True)
+        gvalid = jax.lax.all_gather(valid, "shard", tiled=True)
+        my = jax.lax.axis_index("shard")
+        mine = gvalid & (_owner_of(ghi, glo, n_shards) == my)
+        uhi, ulo, cnt, nu = count_kmers(ghi, glo, mine)
+        return (
+            uhi[None],
+            ulo[None],
+            cnt[None],
+            nu[None],
+        )
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("shard"), P("shard")),
+        out_specs=(P("shard", None), P("shard", None), P("shard", None), P("shard")),
+    )
+    return jax.jit(fn)
+
+
+def _shard_blocks(codes: np.ndarray, invalid: np.ndarray, k: int, n_shards: int):
+    """Split a packed stream into S equal blocks with (k-1) halos.
+
+    Blocks overlap by k-1 positions so that windows crossing block
+    boundaries are produced by exactly one block (the left one produces
+    them; the right block's copy starts at the same window but the left
+    block's tail windows are cut by the block end -- overlap restores
+    them exactly once).
+    """
+    n = codes.shape[0]
+    halo = k - 1
+    base = -(-n // n_shards)  # payload per shard
+    block = base + halo
+    out_codes = np.zeros((n_shards, block), dtype=np.uint8)
+    out_invalid = np.ones((n_shards, block), dtype=bool)
+    for s in range(n_shards):
+        start = s * base
+        stop = min(start + block, n)
+        if start < n:
+            span = stop - start
+            out_codes[s, :span] = codes[start:stop]
+            out_invalid[s, :span] = invalid[start:stop]
+    return out_codes.reshape(-1), out_invalid.reshape(-1), block
+
+
+def sharded_count(
+    codes: np.ndarray, invalid: np.ndarray, k: int, mesh: Mesh | None = None
+):
+    """Multi-chip canonical k-mer count of one packed stream.
+
+    Exactness: block halos ensure each window is produced once; hash
+    ownership ensures each distinct k-mer is counted by exactly one
+    shard.  Returns (vals uint64, counts int64) sorted ascending.
+    """
+    from .mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_shards = mesh.devices.size
+    blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, k, n_shards)
+    step = make_sharded_count_step(mesh, k)
+    sharding = NamedSharding(mesh, P("shard"))
+    uhi, ulo, cnt, nu = step(
+        jax.device_put(blk_codes, sharding), jax.device_put(blk_invalid, sharding)
+    )
+    uhi, ulo, cnt, nu = map(np.asarray, (uhi, ulo, cnt, nu))
+    vals_parts, cnt_parts = [], []
+    for s in range(n_shards):
+        m = int(nu[s])
+        vals_parts.append(join_u64(uhi[s, :m], ulo[s, :m]))
+        cnt_parts.append(cnt[s, :m].astype(np.int64))
+    vals = np.concatenate(vals_parts)
+    counts = np.concatenate(cnt_parts)
+    order = np.argsort(vals)
+    return vals[order], counts[order]

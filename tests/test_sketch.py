@@ -1,0 +1,100 @@
+"""FracMinHash sketching: device kernel vs host oracle + CLI round trip."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from orion_kmer_tpu import codec
+from orion_kmer_tpu.ops.hash import splitmix64_np
+from orion_kmer_tpu.ops.kmers import join_u64
+from orion_kmer_tpu.ops.sketch import sketch_batch, sketch_compare, sketch_np
+
+from .util import run_cli, write_file
+
+
+def _codes(seq):
+    c = codec.seq_to_codes(seq)
+    return c, c == codec.INVALID_CODE
+
+
+def test_sketch_batch_matches_oracle():
+    rng = np.random.default_rng(0)
+    seq = rng.choice(list(b"ACGT"), size=20000).astype(np.uint8).tobytes()
+    codes, invalid = _codes(seq)
+    k, scaled = 21, 50
+    uhi, ulo, cnt, nu = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
+    nu = int(nu)
+    got = join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu])
+    kmers = codec.extract_kmers_np(codes, k)
+    exp = sketch_np(kmers, scaled)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_sketch_abundances_are_kmer_multiplicities():
+    seq = b"ACGTACGTACGT" * 10
+    codes, invalid = _codes(seq)
+    k, scaled = 4, 1  # scaled=1 keeps everything
+    uhi, ulo, cnt, nu = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
+    nu = int(nu)
+    kmers = codec.extract_kmers_np(codes, k)
+    vals, counts = np.unique(kmers, return_counts=True)
+    hashes = splitmix64_np(vals)
+    order = np.argsort(hashes)
+    got = join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu])
+    np.testing.assert_array_equal(got, hashes[order])
+    np.testing.assert_array_equal(np.asarray(cnt)[:nu], counts[order])
+
+
+def test_sketch_compare_identical():
+    a = np.array([1, 5, 9], dtype=np.uint64)
+    stats = sketch_compare(a, a)
+    assert stats["jaccard"] == 1.0
+    assert stats["containment_a_in_b"] == 1.0
+
+
+def test_sketch_compare_disjoint():
+    a = np.array([1, 2], dtype=np.uint64)
+    b = np.array([3, 4], dtype=np.uint64)
+    stats = sketch_compare(a, b)
+    assert stats["jaccard"] == 0.0
+
+
+def test_sketch_cli_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    g1 = "".join(rng.choice(list("ACGT"), size=3000))
+    # g2 = g1 with a mutated tail: high but <1.0 jaccard
+    g2 = g1[:2400] + "".join(rng.choice(list("ACGT"), size=600))
+    f1 = write_file(tmp_path / "g1.fa", f">g1\n{g1}\n")
+    f2 = write_file(tmp_path / "g2.fa", f">g2\n{g2}\n")
+    sig = tmp_path / "both.sig"
+    rc = run_cli("sketch", "-k", 21, "--scaled", 10, "-i", f1, f2, "-o", sig)
+    assert rc == 0
+    doc = json.loads(sig.read_text())
+    assert doc["k"] == 21 and doc["scaled"] == 10
+    assert len(doc["sketches"]) == 2
+
+    out = tmp_path / "cmp.json"
+    rc = run_cli("sketch-compare", "-s", sig, "-o", out)
+    assert rc == 0
+    res = json.loads(out.read_text())
+    assert len(res["pairs"]) == 1
+    j = res["pairs"][0]["jaccard"]
+    assert 0.3 < j < 1.0  # shared 2400-base prefix, distinct tail
+
+    # estimator sanity: sketch jaccard approximates true k-mer jaccard
+    k1 = set(codec.extract_kmers_np(codec.seq_to_codes(g1.encode()), 21).tolist())
+    k2 = set(codec.extract_kmers_np(codec.seq_to_codes(g2.encode()), 21).tolist())
+    true_j = len(k1 & k2) / len(k1 | k2)
+    assert abs(j - true_j) < 0.15
+
+
+def test_sketch_param_mismatch(tmp_path, capsys):
+    f1 = write_file(tmp_path / "g.fa", ">g\nACGTACGTACGTACGTACGTACGT\n")
+    s1 = tmp_path / "a.sig"
+    s2 = tmp_path / "b.sig"
+    assert run_cli("sketch", "-k", 11, "--scaled", 1, "-i", f1, "-o", s1) == 0
+    assert run_cli("sketch", "-k", 13, "--scaled", 1, "-i", f1, "-o", s2) == 0
+    rc = run_cli("sketch-compare", "-s", s1, s2, "-o", tmp_path / "o.json")
+    assert rc == 1
+    assert "Sketch parameter mismatch" in capsys.readouterr().err
