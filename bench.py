@@ -27,7 +27,7 @@ import numpy as np
 K = 31
 DEVICE_N = 1 << 24  # positions per device step (16M)
 CPU_PROXY_N = 1 << 21  # positions for the CPU proxy measurement (2M)
-ITERS = 5
+ITERS = 20
 
 
 def main() -> None:
@@ -43,22 +43,29 @@ def main() -> None:
     invalid = np.zeros(DEVICE_N, dtype=bool)
     invalid[rng.random(DEVICE_N) < 0.001] = True  # sparse N's
 
+    # The step threads a scalar carry through each iteration so the chain
+    # is serialized by data dependency; a single host fetch at the end
+    # forces completion of the whole chain.  (block_until_ready is not a
+    # reliable fence on tunneled PJRT backends.)
     @jax.jit
-    def step(c, i):
+    def step(c, i, carry):
+        i = i.at[0].set(carry > 0)  # consume carry: no two iterations identical
         hi, lo, valid = extract_canonical(c, i, K)
-        return count_kmers(hi, lo, valid)
+        _, _, _, nu = count_kmers(hi, lo, valid)
+        return nu
 
     dc = jax.device_put(jnp.asarray(codes))
     di = jax.device_put(jnp.asarray(invalid))
 
     # compile + warmup
-    out = step(dc, di)
-    jax.block_until_ready(out)
+    carry = step(dc, di, jnp.int32(0))
+    int(carry)  # fetch = fence
 
     t0 = time.perf_counter()
+    carry = jnp.int32(0)
     for _ in range(ITERS):
-        out = step(dc, di)
-    jax.block_until_ready(out)
+        carry = step(dc, di, carry)
+    int(carry)  # single fetch forces the whole chain
     dt = (time.perf_counter() - t0) / ITERS
 
     n_windows = DEVICE_N - K + 1

@@ -12,9 +12,9 @@ import logging
 import os
 
 from ..db import KmerDb
-from ..engine import count_records, iter_packed_batches, _count_batch_device, CountAccumulator
+from ..engine import count_file
 from ..errors import ContextError, validate_k
-from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ingest.fastx import FastxParseError
 from ..utils import track_progress_and_resources
 
 logger = logging.getLogger("orion_kmer_tpu.build")
@@ -29,12 +29,7 @@ def run_build(args) -> None:
     def task(pb):
         for input_path in args.genome_files:
             try:
-                acc = CountAccumulator()
-                records = parse_fastx_file(input_path)
-                for batch in iter_packed_batches(records, k, normalize=True):
-                    vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
-                    acc.add(vals, cnt)
-                kmers, _ = acc.result()
+                kmers, _ = count_file(input_path, k)
             except FastxParseError as e:
                 raise ContextError(
                     f"Failed to open or parse FASTA/Q file: {input_path}", e

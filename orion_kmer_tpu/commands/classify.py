@@ -25,7 +25,7 @@ import logging
 import numpy as np
 
 from ..db import KmerDb
-from ..engine import count_records, iter_packed_batches, _count_batch_device, CountAccumulator, membership_and_depth
+from ..engine import count_file, membership_and_depth
 from ..errors import (
     ContextError,
     GenericError,
@@ -35,7 +35,7 @@ from ..errors import (
     validate_k,
 )
 from ..ingest.compress import TextOut
-from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ingest.fastx import FastxParseError
 from ..utils import track_progress_and_resources
 
 logger = logging.getLogger("orion_kmer_tpu.classify")
@@ -73,17 +73,12 @@ def run_classify(args) -> None:
 
     # --- 2. Count input k-mers ---
     def count_task(pb):
-        acc = CountAccumulator()
         try:
-            records = parse_fastx_file(args.input_file)
-            for batch in iter_packed_batches(records, k, normalize=True):
-                vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
-                acc.add(vals, cnt)
+            return count_file(args.input_file, k)
         except FastxParseError as e:
             raise ContextError(
                 f"Failed to open or parse FASTA/Q content from: {args.input_file!r}", e
             ) from e
-        return acc.result()
 
     input_vals, input_counts = track_progress_and_resources(
         f"Processing input file: {args.input_file}", 0, count_task

@@ -12,10 +12,10 @@ import logging
 import numpy as np
 
 from .. import codec
-from ..engine import CountAccumulator, count_records, iter_packed_batches, _count_batch_device
+from ..engine import count_file
 from ..errors import ContextError, validate_k
 from ..ingest.compress import TextOut
-from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ingest.fastx import FastxParseError
 from ..utils import track_progress_and_resources
 
 logger = logging.getLogger("orion_kmer_tpu.count")
@@ -39,6 +39,8 @@ def run_count(args) -> None:
     validate_k(args.kmer_size)
     k = args.kmer_size
 
+    from ..engine import CountAccumulator
+
     acc = CountAccumulator()
 
     def task(pb):
@@ -46,14 +48,12 @@ def run_count(args) -> None:
             logger.info("Processing file: %s", input_path)
             pb.set_message(f"Processing: {input_path}")
             try:
-                records = parse_fastx_file(input_path)
-                for batch in iter_packed_batches(records, k, normalize=True):
-                    vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
-                    acc.add(vals, cnt)
+                vals, cnt = count_file(input_path, k)
             except FastxParseError as e:
                 raise ContextError(
                     f"Failed to open or parse file: {input_path}", e
                 ) from e
+            acc.add(vals, cnt.astype("int64"))
             pb.inc(1)
 
     track_progress_and_resources(

@@ -12,10 +12,10 @@ from __future__ import annotations
 import logging
 
 from ..db import KmerDb
-from ..engine import query_records
+from ..engine import query_file
 from ..errors import ContextError, validate_k
 from ..ingest.compress import open_output
-from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ingest.fastx import FastxParseError
 from ..utils import track_progress_and_resources
 
 logger = logging.getLogger("orion_kmer_tpu.query")
@@ -34,20 +34,16 @@ def run_query(args) -> None:
         db_all.shape[0],
     )
 
-    try:
-        records = list(parse_fastx_file(args.reads_file))
-    except FastxParseError as e:
-        raise ContextError(
-            f"Failed to open or parse FASTQ file: \"{args.reads_file}\"", e
-        ) from e
-
     def task(pb):
-        result = query_records(db_all, records, k, args.min_hits)
-        pb.inc(len(records))
-        return result
+        try:
+            return query_file(db_all, args.reads_file, k, args.min_hits)
+        except FastxParseError as e:
+            raise ContextError(
+                f"Failed to open or parse FASTQ file: \"{args.reads_file}\"", e
+            ) from e
 
     matching = track_progress_and_resources(
-        "Querying reads against database", len(records), task
+        "Querying reads against database", 0, task
     )
 
     logger.info(

@@ -20,10 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine import CountAccumulator, _bucket, _pad, iter_packed_batches
+from ..engine import CountAccumulator, _bucket, _pad, stream_file_batches
 from ..errors import ContextError, validate_k
 from ..ingest.compress import TextOut, read_bytes
-from ..ingest.fastx import FastxParseError, parse_fastx_file
+from ..ingest.fastx import FastxParseError
 from ..ops.kmers import join_u64
 from ..ops.sketch import sketch_batch, sketch_compare
 from ..utils import track_progress_and_resources
@@ -34,8 +34,7 @@ logger = logging.getLogger("orion_kmer_tpu.sketch")
 def sketch_file(path, k: int, scaled: int, num: int = 0):
     """FracMinHash sketch of one FASTA/FASTQ file -> (hashes, abundances)."""
     acc = CountAccumulator()
-    records = parse_fastx_file(path)
-    for batch in iter_packed_batches(records, k, normalize=True):
+    for batch in stream_file_batches(path, k, normalize=True):
         n = batch.codes.shape[0]
         size = _bucket(n)
         uhi, ulo, cnt, nu = sketch_batch(

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import codec
+from .errors import ContextError
 from .ingest.fastx import Record, parse_fastx_file
 from .ops.count import count_kmers, hits_per_read
 from .ops.kmers import extract_canonical, join_u64, split_u64
@@ -125,6 +126,87 @@ def iter_packed_batches(
         yield make_batch()
 
 
+def _iter_batches_from_packed(
+    codes: np.ndarray,
+    rec_ends: np.ndarray,
+    ids: list[bytes],
+    k: int,
+    batch_positions: int,
+    with_owner: bool,
+) -> Iterator[PackedBatch]:
+    """Batch a natively-packed code stream with (k-1) halos at splits."""
+    n = codes.shape[0]
+    invalid = codes == codec.INVALID_CODE
+    owner_full = None
+    if with_owner:
+        sep = k - 1
+        ends_incl = rec_ends + sep  # each record region includes its separator
+        lengths = np.diff(np.concatenate([[0], ends_incl]))
+        owner_full = np.repeat(
+            np.arange(len(ids), dtype=np.int32), lengths.astype(np.int64)
+        )
+    a = 0
+    while True:
+        b = min(a + batch_positions, n)
+        sl_codes = codes[a:b]
+        owner = None
+        first_rid = 0
+        rec_ids = None
+        if with_owner:
+            first_rid = int(owner_full[a]) if n else 0
+            last_rid = int(owner_full[b - 1]) if n else -1
+            owner = owner_full[a:b] - np.int32(first_rid)
+            rec_ids = ids[first_rid : last_rid + 1]
+        yield PackedBatch(
+            codes=sl_codes,
+            invalid=invalid[a:b],
+            owner=owner,
+            first_rid=first_rid,
+            record_ids=rec_ids,
+        )
+        if b >= n:
+            break
+        a = b - (k - 1)  # halo: boundary windows produced exactly once
+
+
+def stream_file_batches(
+    path,
+    k: int,
+    normalize: bool = True,
+    batch_positions: int = DEFAULT_BATCH,
+    with_owner: bool = False,
+) -> Iterator[PackedBatch]:
+    """File -> PackedBatch stream via the native C++ tokenizer when
+    available (one pass, zero Python per record), else the Python parser."""
+    from .ingest import native
+    from .ingest.compress import read_bytes
+    from .ingest.fastx import FastxParseError
+
+    if native.available():
+        try:
+            data = read_bytes(path)
+            codes, rec_ends, ids = native.parse_fastx_packed(
+                data, k, normalize=normalize, source=str(path)
+            )
+        except native.NativeParseError as e:
+            raise FastxParseError(str(e)) from e
+        except ContextError as e:
+            raise FastxParseError(
+                f"Failed to get input reader for file: {path}", e
+            ) from e
+        yield from _iter_batches_from_packed(
+            codes, rec_ends, ids, k, batch_positions, with_owner
+        )
+    else:
+        yield from iter_packed_batches(
+            parse_fastx_file(path),
+            k,
+            normalize=normalize,
+            batch_positions=batch_positions,
+            with_owner=with_owner,
+        )
+
+
 class CountAccumulator:
     """Merge per-batch sorted (vals, counts) pairs; single final reduce."""
 
@@ -179,8 +261,13 @@ def count_records(
     return acc.result()
 
 
-def count_file(path, k: int) -> tuple[np.ndarray, np.ndarray]:
-    return count_records(parse_fastx_file(path), k)
+def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical k-mer counts of one file via the fastest ingest path."""
+    acc = CountAccumulator()
+    for batch in stream_file_batches(path, k, normalize=normalize):
+        vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
+        acc.add(vals, cnt)
+    return acc.result()
 
 
 def unique_from_file(path, k: int) -> np.ndarray:
@@ -189,15 +276,7 @@ def unique_from_file(path, k: int) -> np.ndarray:
     return vals
 
 
-def query_records(
-    db_vals: np.ndarray,
-    records: Iterable[Record],
-    k: int,
-    min_hits: int,
-) -> list[bytes]:
-    """IDs of reads with >= min_hits matching windows (multiplicity
-    counted, query.rs:87-103).  Reads shorter than k never match.
-    Output preserves input read order (query.rs:119-123)."""
+def _query_db_device(db_vals: np.ndarray):
     dbh, dbl = split_u64(db_vals)
     db_n = dbh.shape[0]
     db_size = _bucket(db_n, minimum=1)
@@ -206,11 +285,21 @@ def query_records(
     db_valid = jax.device_put(
         jnp.asarray(_pad(np.ones(db_n, dtype=bool), db_size, False))
     )
+    return db_hi, db_lo, db_valid
 
+
+def _query_batches(
+    db_dev, batches: Iterable[PackedBatch], k: int, min_hits: int, eligible
+) -> list[bytes]:
+    """Shared query core over a PackedBatch stream.
+
+    ``eligible(grid) -> bool`` implements the reads-shorter-than-k drop
+    (query.rs:83-85), which matters when min_hits == 0.
+    """
+    db_hi, db_lo, db_valid = db_dev
     all_ids: dict[int, bytes] = {}
     all_hits: dict[int, int] = {}
-    # note: query uses RAW read bytes -- no normalization (query.rs:80-81)
-    for batch in iter_packed_batches(records, k, normalize=False, with_owner=True):
+    for batch in batches:
         n = batch.codes.shape[0]
         size = _bucket(n)
         codes_p = jnp.asarray(_pad(batch.codes, size, 0))
@@ -225,7 +314,56 @@ def query_records(
             grid = batch.first_rid + local
             all_ids[grid] = rid_bytes
             all_hits[grid] = all_hits.get(grid, 0) + int(hits[local])
-    return [all_ids[g] for g in sorted(all_ids) if all_hits[g] >= min_hits]
+    return [
+        all_ids[g] for g in sorted(all_ids) if all_hits[g] >= min_hits and eligible(g)
+    ]
+
+
+def query_records(
+    db_vals: np.ndarray,
+    records: Iterable[Record],
+    k: int,
+    min_hits: int,
+) -> list[bytes]:
+    """IDs of reads with >= min_hits matching windows (multiplicity
+    counted, query.rs:87-103).  Reads shorter than k never match.
+    Output preserves input read order (query.rs:119-123).
+    Note: query uses RAW read bytes -- no normalization (query.rs:80-81).
+    """
+    records = list(records)
+    lens = [len(r.seq) for r in records]
+    db_dev = _query_db_device(db_vals)
+    batches = iter_packed_batches(records, k, normalize=False, with_owner=True)
+    return _query_batches(db_dev, batches, k, min_hits, lambda g: lens[g] >= k)
+
+
+def query_file(db_vals: np.ndarray, path, k: int, min_hits: int) -> list[bytes]:
+    """Native-ingest query path: one C pass over the reads file."""
+    from .ingest import native
+    from .ingest.compress import read_bytes
+    from .ingest.fastx import FastxParseError
+
+    if not native.available():
+        return query_records(db_vals, parse_fastx_file(path), k, min_hits)
+    try:
+        data = read_bytes(path)
+        codes, rec_ends, ids = native.parse_fastx_packed(
+            data, k, normalize=False, source=str(path)
+        )
+    except native.NativeParseError as e:
+        raise FastxParseError(str(e)) from e
+    except ContextError as e:
+        raise FastxParseError(
+            f"Failed to get input reader for file: {path}", e
+        ) from e
+    sep = k - 1
+    starts = np.concatenate([[0], rec_ends[:-1] + sep])
+    lens = rec_ends - starts
+    db_dev = _query_db_device(db_vals)
+    batches = _iter_batches_from_packed(
+        codes, rec_ends, ids, k, DEFAULT_BATCH, with_owner=True
+    )
+    return _query_batches(db_dev, batches, k, min_hits, lambda g: lens[g] >= k)
 
 
 def membership_and_depth(
