@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="Verbosity level (e.g., -v, -vv)",
     )
+    p.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="Write a jax.profiler trace of the run to this directory",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     # count (cli.rs:38-61)
@@ -57,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument(
         "-m", "--min-count", type=int, default=1, help="Minimum count to report a k-mer"
+    )
+    c.add_argument(
+        "--histogram",
+        default=None,
+        help="Optional: write a multiplicity histogram (multiplicity<TAB>distinct k-mers)",
+    )
+    c.add_argument(
+        "--checkpoint",
+        default=None,
+        help="Optional: checkpoint file for resumable multi-file counting",
     )
 
     # build (cli.rs:63-78)
@@ -168,6 +184,29 @@ def build_parser() -> argparse.ArgumentParser:
         required=True, help="Sketch .sig files",
     )
     skc.add_argument("-o", "--output-file", required=True, help="Output JSON")
+
+    # profile (new capability: multi-sample cohort profiling)
+    pr = sub.add_parser(
+        "profile", help="Profile many samples from a cohort manifest in one run"
+    )
+    pr.add_argument("-k", "--kmer-size", type=int, required=True)
+    pr.add_argument(
+        "--manifest", required=True,
+        help='JSON manifest: [{"sample": name, "files": [fastx...]}, ...]',
+    )
+    pr.add_argument("-o", "--output-file", required=True, help="Output JSON")
+    pr.add_argument(
+        "-d", "--databases", dest="database_files", nargs="+", action="extend",
+        default=None, help="Optional k-mer databases to classify each sample against",
+    )
+    pr.add_argument(
+        "--scaled", type=int, default=None,
+        help="Optional FracMinHash scale: include a sketch per sample",
+    )
+    pr.add_argument(
+        "--min-coverage", type=float, default=0.0,
+        help="Minimum reference breadth to report (classification mode)",
+    )
     return p
 
 
@@ -175,7 +214,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
 
-    from .commands import build, classify, compare, count, query, sketch
+    from .commands import build, classify, compare, count, profile, query, sketch
 
     dispatch = {
         "count": count.run_count,
@@ -185,9 +224,21 @@ def main(argv=None) -> int:
         "classify": classify.run_classify,
         "sketch": sketch.run_sketch,
         "sketch-compare": sketch.run_sketch_compare,
+        "profile": profile.run_profile,
     }
     try:
-        dispatch[args.command](args)
+        if args.trace:
+            import contextlib
+
+            import jax
+
+            ctx = jax.profiler.trace(args.trace)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            dispatch[args.command](args)
     except OrionKmerError as e:
         print(f"[ERROR orion_kmer_tpu] Error: {e}", file=sys.stderr)
         return 1

@@ -1,1 +1,1 @@
-from . import build, classify, compare, count, query  # noqa: F401
+from . import build, classify, compare, count, profile, query, sketch  # noqa: F401

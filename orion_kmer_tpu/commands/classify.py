@@ -96,64 +96,9 @@ def run_classify(args) -> None:
 
     # --- 3. Classification ---
     def classify_task(pb):
-        db_results = []
-        for db_path_str, db in databases:
-            pb.set_message(f"Classifying against: {db_path_str}")
-            overall_mask = np.zeros(total_unique_input, dtype=bool)
-            per_ref = []
-            # sorted order: deterministic superset of the reference
-            for ref_name in sorted(db.references):
-                ref_kmers = db.references[ref_name]
-                n_matched, sum_depth, mask = membership_and_depth(
-                    input_vals, input_counts, ref_kmers
-                )
-                overall_mask |= mask
-                total_in_ref = int(ref_kmers.shape[0])
-                breadth = (n_matched / total_in_ref) if total_in_ref else 0.0
-                if breadth >= args.min_coverage:  # classify.rs:247
-                    per_ref.append(
-                        {
-                            "reference_name": ref_name,
-                            "total_kmers_in_reference": total_in_ref,
-                            "input_kmers_hitting_reference": n_matched,
-                            "sum_depth_of_matched_kmers_in_input": sum_depth,
-                            "avg_depth_of_matched_kmers_in_input": (
-                                sum_depth / n_matched if n_matched else 0.0
-                            ),
-                            "proportion_input_kmers_hitting_reference": (
-                                n_matched / total_unique_input
-                                if total_unique_input
-                                else 0.0
-                            ),
-                            "reference_breadth_of_coverage": breadth,
-                        }
-                    )
-            overall_matched = int(overall_mask.sum())
-            overall_depth = int(input_counts[overall_mask].sum())
-            total_in_db = db.total_unique_kmers()
-            db_results.append(
-                {
-                    "database_path": db_path_str,
-                    "database_kmer_size": db.k,
-                    "total_unique_kmers_in_db_across_references": total_in_db,
-                    "overall_input_kmers_matched_in_db": overall_matched,
-                    "overall_sum_depth_of_matched_kmers_in_input": overall_depth,
-                    "overall_avg_depth_of_matched_kmers_in_input": (
-                        overall_depth / overall_matched if overall_matched else 0.0
-                    ),
-                    "proportion_input_kmers_in_db_overall": (
-                        overall_matched / total_unique_input
-                        if total_unique_input
-                        else 0.0
-                    ),
-                    "proportion_db_kmers_covered_overall": (
-                        overall_matched / total_in_db if total_in_db else 0.0
-                    ),
-                    "references": per_ref,
-                }
-            )
-            pb.inc(1)
-        return db_results
+        return classify_against_databases(
+            input_vals, input_counts, databases, args.min_coverage, pb
+        )
 
     db_results = track_progress_and_resources(
         "Classifying against databases", len(databases), classify_task
@@ -172,30 +117,106 @@ def run_classify(args) -> None:
 
     # --- 5. Optional TSV (classify.rs:338-381) ---
     if args.output_tsv:
-        with TextOut(args.output_tsv) as f:
-            f.write(
-                "InputFile\tDatabase\tReference\tTotalKmersInReference\t"
-                "InputKmersHittingReference\tSumDepthMatchedKmers\t"
-                "AvgDepthMatchedKmers\tProportionInputKmersHittingReference\t"
-                "ReferenceBreadthOfCoverage\n"
-            )
-            for db_res in db_results:
-                for ref_res in db_res["references"]:
-                    f.write(
-                        "\t".join(
-                            [
-                                final_output["input_file_path"],
-                                db_res["database_path"],
-                                ref_res["reference_name"],
-                                str(ref_res["total_kmers_in_reference"]),
-                                str(ref_res["input_kmers_hitting_reference"]),
-                                str(ref_res["sum_depth_of_matched_kmers_in_input"]),
-                                f"{ref_res['avg_depth_of_matched_kmers_in_input']:.4f}",
-                                f"{ref_res['proportion_input_kmers_hitting_reference']:.4f}",
-                                f"{ref_res['reference_breadth_of_coverage']:.4f}",
-                            ]
-                        )
-                        + "\n"
-                    )
+        write_classify_tsv(args.output_tsv, final_output)
 
     logger.info("Classification successfully completed.")
+
+
+def classify_against_databases(
+    input_vals, input_counts, databases, min_coverage, pb=None
+):
+    """Per-DB x per-reference coverage/depth stats (classify.rs:215-308).
+
+    ``databases`` is a list of (path_str, KmerDb).  Reused by the
+    multi-sample profile command.
+    """
+    total_unique_input = int(input_vals.shape[0])
+    db_results = []
+    for db_path_str, db in databases:
+        if pb is not None:
+            pb.set_message(f"Classifying against: {db_path_str}")
+        overall_mask = np.zeros(total_unique_input, dtype=bool)
+        per_ref = []
+        # sorted order: deterministic superset of the reference
+        for ref_name in sorted(db.references):
+            ref_kmers = db.references[ref_name]
+            n_matched, sum_depth, mask = membership_and_depth(
+                input_vals, input_counts, ref_kmers
+            )
+            overall_mask |= mask
+            total_in_ref = int(ref_kmers.shape[0])
+            breadth = (n_matched / total_in_ref) if total_in_ref else 0.0
+            if breadth >= min_coverage:  # classify.rs:247
+                per_ref.append(
+                    {
+                        "reference_name": ref_name,
+                        "total_kmers_in_reference": total_in_ref,
+                        "input_kmers_hitting_reference": n_matched,
+                        "sum_depth_of_matched_kmers_in_input": sum_depth,
+                        "avg_depth_of_matched_kmers_in_input": (
+                            sum_depth / n_matched if n_matched else 0.0
+                        ),
+                        "proportion_input_kmers_hitting_reference": (
+                            n_matched / total_unique_input
+                            if total_unique_input
+                            else 0.0
+                        ),
+                        "reference_breadth_of_coverage": breadth,
+                    }
+                )
+        overall_matched = int(overall_mask.sum())
+        overall_depth = int(input_counts[overall_mask].sum())
+        total_in_db = db.total_unique_kmers()
+        db_results.append(
+            {
+                "database_path": db_path_str,
+                "database_kmer_size": db.k,
+                "total_unique_kmers_in_db_across_references": total_in_db,
+                "overall_input_kmers_matched_in_db": overall_matched,
+                "overall_sum_depth_of_matched_kmers_in_input": overall_depth,
+                "overall_avg_depth_of_matched_kmers_in_input": (
+                    overall_depth / overall_matched if overall_matched else 0.0
+                ),
+                "proportion_input_kmers_in_db_overall": (
+                    overall_matched / total_unique_input
+                    if total_unique_input
+                    else 0.0
+                ),
+                "proportion_db_kmers_covered_overall": (
+                    overall_matched / total_in_db if total_in_db else 0.0
+                ),
+                "references": per_ref,
+            }
+        )
+        if pb is not None:
+            pb.inc(1)
+    return db_results
+
+
+def write_classify_tsv(path, final_output) -> None:
+    """9-column TSV with {:.4} float formatting (classify.rs:338-381)."""
+    with TextOut(path) as f:
+        f.write(
+            "InputFile\tDatabase\tReference\tTotalKmersInReference\t"
+            "InputKmersHittingReference\tSumDepthMatchedKmers\t"
+            "AvgDepthMatchedKmers\tProportionInputKmersHittingReference\t"
+            "ReferenceBreadthOfCoverage\n"
+        )
+        for db_res in final_output["databases_analyzed"]:
+            for ref_res in db_res["references"]:
+                f.write(
+                    "\t".join(
+                        [
+                            final_output["input_file_path"],
+                            db_res["database_path"],
+                            ref_res["reference_name"],
+                            str(ref_res["total_kmers_in_reference"]),
+                            str(ref_res["input_kmers_hitting_reference"]),
+                            str(ref_res["sum_depth_of_matched_kmers_in_input"]),
+                            f"{ref_res['avg_depth_of_matched_kmers_in_input']:.4f}",
+                            f"{ref_res['proportion_input_kmers_hitting_reference']:.4f}",
+                            f"{ref_res['reference_breadth_of_coverage']:.4f}",
+                        ]
+                    )
+                    + "\n"
+                )

@@ -35,6 +35,49 @@ def write_counts_tsv(path, vals: np.ndarray, counts: np.ndarray, k: int) -> None
             )
 
 
+def _load_checkpoint(path, k):
+    """Resume state: previously merged counts + the set of finished files."""
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if int(z["k"]) != k:
+                logger.warning(
+                    "Checkpoint %s has k=%d (expected %d); ignoring", path, z["k"], k
+                )
+                return None
+            return z["vals"], z["counts"], set(z["files_done"].tolist())
+    except (OSError, KeyError, ValueError) as e:
+        logger.warning("Could not read checkpoint %s (%s); ignoring", path, e)
+        return None
+
+
+def _save_checkpoint(path, k, vals, counts, files_done):
+    import os
+
+    tmp = str(path) + ".tmp.npz"  # .npz suffix so numpy doesn't append one
+    np.savez_compressed(
+        tmp,
+        k=np.int64(k),
+        vals=vals,
+        counts=counts,
+        files_done=np.array(sorted(files_done), dtype=str),
+    )
+    os.replace(tmp, path)
+
+
+def write_histogram(path, counts: np.ndarray) -> None:
+    """Write `multiplicity\\tdistinct_kmers` lines (jellyfish-histo style),
+    computed over ALL counted k-mers (before the min-count filter)."""
+    with TextOut(path) as f:
+        if counts.shape[0]:
+            multiplicities, freq = np.unique(counts, return_counts=True)
+            for m, c in zip(multiplicities.tolist(), freq.tolist()):
+                f.write(f"{m}\t{c}\n")
+
+
 def run_count(args) -> None:
     validate_k(args.kmer_size)
     k = args.kmer_size
@@ -42,9 +85,26 @@ def run_count(args) -> None:
     from ..engine import CountAccumulator
 
     acc = CountAccumulator()
+    ckpt_path = getattr(args, "checkpoint", None)
+    files_done: set[str] = set()
+    resumed = _load_checkpoint(ckpt_path, k)
+    if resumed is not None:
+        vals0, counts0, files_done = resumed
+        acc.add(vals0, counts0)
+        logger.info(
+            "Resumed checkpoint %s: %d k-mers, %d files done",
+            ckpt_path,
+            vals0.shape[0],
+            len(files_done),
+        )
 
     def task(pb):
+        nonlocal acc
         for input_path in args.input_files:
+            if str(input_path) in files_done:
+                logger.info("Skipping already-counted file: %s", input_path)
+                pb.inc(1)
+                continue
             logger.info("Processing file: %s", input_path)
             pb.set_message(f"Processing: {input_path}")
             try:
@@ -54,6 +114,13 @@ def run_count(args) -> None:
                     f"Failed to open or parse file: {input_path}", e
                 ) from e
             acc.add(vals, cnt.astype("int64"))
+            files_done.add(str(input_path))
+            if ckpt_path:
+                # the merged table doubles as the resumable checkpoint
+                merged_vals, merged_counts = acc.result()
+                acc = CountAccumulator()
+                acc.add(merged_vals, merged_counts)
+                _save_checkpoint(ckpt_path, k, merged_vals, merged_counts, files_done)
             pb.inc(1)
 
     track_progress_and_resources(
@@ -61,6 +128,9 @@ def run_count(args) -> None:
     )
 
     vals, counts = acc.result()
+
+    if getattr(args, "histogram", None):
+        write_histogram(args.histogram, counts)
     keep = counts >= args.min_count
     vals, counts = vals[keep], counts[keep]
     logger.info(

@@ -1,0 +1,122 @@
+"""New-capability CLI tests: histogram, checkpoint/resume, profile."""
+
+import json
+
+import numpy as np
+
+from orion_kmer_tpu import codec
+
+from .util import SAMPLE1_FASTA, build_db, run_cli, write_file
+
+
+def test_count_histogram(tmp_path):
+    f = write_file(tmp_path / "s.fa", SAMPLE1_FASTA)
+    hist = tmp_path / "hist.tsv"
+    rc = run_cli("count", "-k", 3, "-i", f, "-o", tmp_path / "o.tsv",
+                 "--histogram", hist)
+    assert rc == 0
+    got = dict(
+        tuple(map(int, line.split("\t")))
+        for line in hist.read_text().strip().splitlines()
+    )
+    # oracle: per-multiplicity distinct-kmer counts
+    vals = []
+    for seq in (b"ACGTACGTACGT", b"TTTTCCCCGGGGAAAA", b"AgCtAgCtNaCcGgTt"):
+        vals.extend(codec.extract_kmers_np(codec.seq_to_codes(seq), 3).tolist())
+    _, counts = np.unique(np.array(vals, dtype=np.uint64), return_counts=True)
+    mult, freq = np.unique(counts, return_counts=True)
+    assert got == dict(zip(mult.tolist(), freq.tolist()))
+
+
+def test_count_checkpoint_resume(tmp_path):
+    f1 = write_file(tmp_path / "a.fa", ">a\nACGTACGTACGT\n")
+    f2 = write_file(tmp_path / "b.fa", ">b\nTTTTCCCC\n")
+    ckpt = tmp_path / "state.ckpt"
+
+    # pass 1: only file a
+    out1 = tmp_path / "o1.tsv"
+    assert run_cli("count", "-k", 4, "-i", f1, "-o", out1, "--checkpoint", ckpt) == 0
+    assert ckpt.exists()
+
+    # pass 2: both files; file a must be skipped (counted once, not twice)
+    out2 = tmp_path / "o2.tsv"
+    assert (
+        run_cli("count", "-k", 4, "-i", f1, f2, "-o", out2, "--checkpoint", ckpt) == 0
+    )
+
+    # oracle: each file counted exactly once
+    vals = []
+    for seq in (b"ACGTACGTACGT", b"TTTTCCCC"):
+        vals.extend(codec.extract_kmers_np(codec.seq_to_codes(seq), 4).tolist())
+    exp_vals, exp_counts = np.unique(np.array(vals, dtype=np.uint64), return_counts=True)
+    lines = out2.read_text().strip().splitlines()
+    got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
+    exp = {
+        codec.u64_to_seq(v, 4).decode(): int(c)
+        for v, c in zip(exp_vals.tolist(), exp_counts.tolist())
+    }
+    assert got == exp
+
+
+def test_count_checkpoint_k_mismatch_ignored(tmp_path):
+    f1 = write_file(tmp_path / "a.fa", ">a\nACGTACGT\n")
+    ckpt = tmp_path / "c.ckpt"
+    assert run_cli("count", "-k", 4, "-i", f1, "-o", tmp_path / "o", "--checkpoint", ckpt) == 0
+    # different k: checkpoint silently ignored, full recount
+    assert run_cli("count", "-k", 5, "-i", f1, "-o", tmp_path / "o2", "--checkpoint", ckpt) == 0
+    assert (tmp_path / "o2").read_text().strip() != ""
+
+
+def test_profile_basic(tmp_path):
+    f1 = write_file(tmp_path / "s1.fa", ">r\nACGTACGTACGT\n")
+    f2 = write_file(tmp_path / "s2.fa", ">r\nTTTTGGGGCCCC\n")
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(
+        json.dumps(
+            [
+                {"sample": "S1", "files": [str(f1)]},
+                {"sample": "S2", "files": [str(f2)]},
+                {"sample": "S3", "files": [str(tmp_path / "missing.fa")]},
+            ]
+        )
+    )
+    out = tmp_path / "profiles.json"
+    rc = run_cli(
+        "profile", "-k", 4, "--manifest", manifest, "-o", out, "--scaled", 1
+    )
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    assert doc["n_samples"] == 3
+    assert doc["n_ok"] == 2
+    assert doc["n_error"] == 1
+    by_name = {p["sample"]: p for p in doc["profiles"]}
+    assert by_name["S3"]["status"] == "error"
+    # S1: ACGTACGTACGT -> 9 windows, 3 unique canonical 4-mers
+    assert by_name["S1"]["unique_kmers"] == 3
+    assert by_name["S1"]["total_kmers"] == 9
+    assert len(by_name["S1"]["sketch"]["hashes"]) == 3
+    assert doc["samples_per_hour"] > 0
+
+
+def test_profile_with_databases(tmp_path):
+    db = build_db(tmp_path, 4, [("ref.fa", ">r\nACGTACGTACGT\n")])
+    f1 = write_file(tmp_path / "s1.fa", ">r\nACGTACGT\n")
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps([{"sample": "S1", "files": [str(f1)]}]))
+    out = tmp_path / "p.json"
+    rc = run_cli("profile", "-k", 4, "--manifest", manifest, "-o", out, "-d", db)
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    dbres = doc["profiles"][0]["databases_analyzed"][0]
+    assert dbres["overall_input_kmers_matched_in_db"] == 3
+    assert dbres["references"][0]["reference_breadth_of_coverage"] == 1.0
+
+
+def test_profile_db_k_mismatch(tmp_path, capsys):
+    db = build_db(tmp_path, 5, [("ref.fa", ">r\nACGTACGTACGT\n")])
+    f1 = write_file(tmp_path / "s1.fa", ">r\nACGTACGT\n")
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps([{"sample": "S1", "files": [str(f1)]}]))
+    rc = run_cli("profile", "-k", 4, "--manifest", manifest, "-o", tmp_path / "p", "-d", db)
+    assert rc == 1
+    assert "has k=5" in capsys.readouterr().err
