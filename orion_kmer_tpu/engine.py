@@ -47,6 +47,23 @@ def _pad(arr: np.ndarray, size: int, fill) -> np.ndarray:
     return out
 
 
+def pack_for_transfer(codes: np.ndarray, size: int):
+    """Host-side wire packing: codes u8[n] (255 = invalid) padded to
+    ``size`` (multiple of 32) -> (lanes u32[size/16], invalid u32[size/32]).
+
+    Base j of lane w sits at bits 2j..2j+1 of lanes[w]; invalid flags are
+    1 bit per base, little-endian within each u32 word."""
+    assert size % 32 == 0
+    codes_p = _pad(codes, size, codec.INVALID_CODE)
+    invalid = codes_p > 3
+    c = np.where(invalid, 0, codes_p).astype(np.uint32).reshape(-1, 16)
+    lanes = np.zeros(size // 16, dtype=np.uint32)
+    for j in range(16):
+        lanes |= c[:, j] << np.uint32(2 * j)
+    inv_words = np.packbits(invalid, bitorder="little").view(np.uint32)
+    return lanes, inv_words
+
+
 class PackedBatch(NamedTuple):
     codes: np.ndarray  # uint8 [n]
     invalid: np.ndarray  # bool [n]
@@ -235,14 +252,129 @@ class CountAccumulator:
         return sv[idx], np.add.reduceat(sc, idx)
 
 
+class DeviceCountTable:
+    """Device-resident merged count table.
+
+    Folds batch after batch into a sorted-unique (hi, lo, count) table in
+    HBM (ops.count.merge_count_batch) and fetches host-side only at
+    flush -- the design the tunnel/PCIe economics demand: one device->
+    host transfer per ~2^30 windows instead of one per batch, with
+    duplicate k-mers already collapsed on device.
+
+    Counts are int32 on device; a flush to the host (int64) accumulator
+    is forced before any k-mer could see 2^31 occurrences.
+    """
+
+    FLUSH_WINDOWS = 1 << 30
+    SYNC_EVERY = 8  # batches between exact-size syncs (each sync is a
+    # blocking scalar fetch; between syncs the host tracks an upper bound
+    # so packing of batch i+1 overlaps the device merge of batch i)
+
+    def __init__(self, k: int):
+        from .ops.kmers import SENTINEL
+
+        self.k = k
+        self._sentinel = SENTINEL
+        self._hi = None  # device arrays, capacity = _cap
+        self._lo = None
+        self._cnt = None
+        self._n_dev = jnp.int32(0)  # valid entries (device scalar)
+        self._n_ub = 0  # host-side upper bound on valid entries
+        self._cap = 0
+        self._updates_since_sync = 0
+        self._windows_since_flush = 0
+        self._acc = CountAccumulator()
+
+    def _ensure_capacity(self, cap: int):
+        if cap <= self._cap:
+            return
+        pad = cap - self._cap
+        shi = jnp.full((pad,), self._sentinel, jnp.uint32)
+        scnt = jnp.zeros((pad,), jnp.int32)
+        if self._hi is None:
+            self._hi, self._lo, self._cnt = shi, shi, scnt
+        else:
+            self._hi = jnp.concatenate([self._hi, shi])
+            self._lo = jnp.concatenate([self._lo, shi])
+            self._cnt = jnp.concatenate([self._cnt, scnt])
+        self._cap = cap
+
+    def update(self, codes: np.ndarray):
+        from .ops.count import merge_count_batch_packed
+
+        n = codes.shape[0]
+        if n == 0:
+            return
+        size = _bucket(n)
+        lanes, inv_words = pack_for_transfer(codes, size)
+        # table capacity must already hold its entries; batch adds <= size
+        self._ensure_capacity(_bucket(max(self._n_ub, 1)))
+        uhi, ulo, ucnt, n_u = merge_count_batch_packed(
+            self._hi,
+            self._lo,
+            self._cnt,
+            self._n_dev,
+            jnp.asarray(lanes),
+            jnp.asarray(inv_words),
+            self.k,
+        )
+        # merged arrays have size cap+size; keep them as the new table
+        self._hi, self._lo, self._cnt = uhi, ulo, ucnt
+        self._cap = int(uhi.shape[0])
+        self._n_dev = n_u
+        self._n_ub = min(self._n_ub + size, self._cap)
+        self._updates_since_sync += 1
+        if self._updates_since_sync >= self.SYNC_EVERY:
+            self._sync()
+        # compact: shrink capacity back to the bound's bucket so capacity
+        # tracks distinct k-mers, not number of batches
+        newcap = _bucket(self._n_ub)
+        if newcap < self._cap:
+            self._hi = self._hi[:newcap]
+            self._lo = self._lo[:newcap]
+            self._cnt = self._cnt[:newcap]
+            self._cap = newcap
+        self._windows_since_flush += n
+        if self._windows_since_flush >= self.FLUSH_WINDOWS:
+            self.flush()
+
+    def _sync(self):
+        """Blocking fetch of the exact unique count; tightens the bound."""
+        self._n_ub = int(self._n_dev)
+        self._updates_since_sync = 0
+
+    def flush(self):
+        if self._hi is None:
+            self._windows_since_flush = 0
+            return
+        self._sync()
+        n = self._n_ub
+        if n:
+            vals = join_u64(np.asarray(self._hi[:n]), np.asarray(self._lo[:n]))
+            cnts = np.asarray(self._cnt[:n]).astype(np.int64)
+            self._acc.add(vals, cnts)
+        self._hi = self._lo = self._cnt = None
+        self._n_dev = jnp.int32(0)
+        self._n_ub = 0
+        self._cap = 0
+        self._windows_since_flush = 0
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        self.flush()
+        return self._acc.result()
+
+
 def _count_batch_device(codes: np.ndarray, invalid: np.ndarray, k: int):
-    """One device round-trip: extract + canonicalize + sort + RLE."""
+    """One device round-trip: extract + canonicalize + sort + RLE.
+
+    Only the code array is shipped; padding uses the invalid code (255)
+    and the window mask is derived on device (count_codes)."""
+    from .ops.count import count_codes
+
     n = codes.shape[0]
     size = _bucket(n)
-    codes_p = _pad(codes, size, 0)
-    invalid_p = _pad(invalid, size, True)
-    hi, lo, valid = extract_canonical(jnp.asarray(codes_p), jnp.asarray(invalid_p), k)
-    uhi, ulo, cnt, nu = count_kmers(hi, lo, valid)
+    codes_p = _pad(codes, size, codec.INVALID_CODE)
+    uhi, ulo, cnt, nu = count_codes(jnp.asarray(codes_p), k)
     nu = int(nu)
     uhi = np.asarray(uhi[:nu])
     ulo = np.asarray(ulo[:nu])
@@ -262,12 +394,12 @@ def count_records(
 
 
 def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical k-mer counts of one file via the fastest ingest path."""
-    acc = CountAccumulator()
+    """Canonical k-mer counts of one file via the fastest ingest path:
+    native parse -> device-resident accumulation -> single fetch."""
+    table = DeviceCountTable(k)
     for batch in stream_file_batches(path, k, normalize=normalize):
-        vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
-        acc.add(vals, cnt)
-    return acc.result()
+        table.update(batch.codes)
+    return table.result()
 
 
 def unique_from_file(path, k: int) -> np.ndarray:
@@ -288,6 +420,18 @@ def _query_db_device(db_vals: np.ndarray):
     return db_hi, db_lo, db_valid
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k", "num_reads"))
+def _query_step(codes, owner, db_hi, db_lo, db_valid, k: int, num_reads: int):
+    """Fused single-dispatch query step: derive mask, extract, join, sum."""
+    invalid = codes > 3
+    hi, lo, valid = extract_canonical(codes, invalid, k)
+    member = membership(hi, lo, valid, db_hi, db_lo, db_valid)
+    return hits_per_read(member, owner, num_reads)
+
+
 def _query_batches(
     db_dev, batches: Iterable[PackedBatch], k: int, min_hits: int, eligible
 ) -> list[bytes]:
@@ -302,14 +446,13 @@ def _query_batches(
     for batch in batches:
         n = batch.codes.shape[0]
         size = _bucket(n)
-        codes_p = jnp.asarray(_pad(batch.codes, size, 0))
-        invalid_p = jnp.asarray(_pad(batch.invalid, size, True))
+        codes_p = jnp.asarray(_pad(batch.codes, size, codec.INVALID_CODE))
         owner_p = jnp.asarray(_pad(batch.owner, size, len(batch.record_ids)))
-        hi, lo, valid = extract_canonical(codes_p, invalid_p, k)
-        member = membership(hi, lo, valid, db_hi, db_lo, db_valid)
         nr = len(batch.record_ids)
         nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
-        hits = np.asarray(hits_per_read(member, owner_p, nr_bucket))
+        hits = np.asarray(
+            _query_step(codes_p, owner_p, db_hi, db_lo, db_valid, k, nr_bucket)
+        )
         for local, rid_bytes in enumerate(batch.record_ids):
             grid = batch.first_rid + local
             all_ids[grid] = rid_bytes

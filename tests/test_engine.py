@@ -1,0 +1,123 @@
+"""Engine-level tests: batching halos, device-resident accumulation."""
+
+import numpy as np
+import pytest
+
+from orion_kmer_tpu import codec
+from orion_kmer_tpu.engine import (
+    CountAccumulator,
+    DeviceCountTable,
+    iter_packed_batches,
+    stream_file_batches,
+)
+from orion_kmer_tpu.ingest.fastx import Record
+
+
+def test_device_count_table_multi_batch():
+    rng = np.random.default_rng(0)
+    k = 21
+    seq = rng.choice(list(b"ACGTN"), size=30000).astype(np.uint8).tobytes()
+    codes = codec.seq_to_codes(seq)
+    exp_vals, exp_counts = np.unique(
+        codec.extract_kmers_np(codes, k), return_counts=True
+    )
+
+    table = DeviceCountTable(k)
+    # feed in awkward chunk sizes with manual halos
+    a = 0
+    while a < len(codes):
+        b = min(a + 7001, len(codes))
+        table.update(codes[a:b])
+        if b >= len(codes):
+            break
+        a = b - (k - 1)
+    vals, counts = table.result()
+    np.testing.assert_array_equal(vals, exp_vals)
+    np.testing.assert_array_equal(counts, exp_counts)
+
+
+def test_device_count_table_flush_mid_stream():
+    k = 5
+    codes1 = codec.seq_to_codes(b"ACGTACGTACGT")
+    codes2 = codec.seq_to_codes(b"ACGTACGTACGT")
+    table = DeviceCountTable(k)
+    table.update(codes1)
+    table.flush()  # force host spill
+    table.update(codes2)
+    vals, counts = table.result()
+    exp_vals, exp_counts = np.unique(
+        np.concatenate(
+            [codec.extract_kmers_np(codes1, k), codec.extract_kmers_np(codes2, k)]
+        ),
+        return_counts=True,
+    )
+    np.testing.assert_array_equal(vals, exp_vals)
+    np.testing.assert_array_equal(counts, exp_counts)
+
+
+def test_device_count_table_empty():
+    table = DeviceCountTable(7)
+    vals, counts = table.result()
+    assert vals.shape[0] == 0 and counts.shape[0] == 0
+
+
+def test_halo_split_windows_once():
+    # a single long record split across batches: every window exactly once
+    k = 9
+    rng = np.random.default_rng(3)
+    seq = rng.choice(list(b"ACGT"), size=5000).astype(np.uint8).tobytes()
+    rec = [Record(b"r1", seq)]
+    acc = []
+    for batch in iter_packed_batches(rec, k, batch_positions=640):
+        acc.append(codec.extract_kmers_np(
+            np.where(batch.invalid, codec.INVALID_CODE, batch.codes), k
+        ))
+    got = np.sort(np.concatenate(acc))
+    exp = np.sort(codec.extract_kmers_np(codec.seq_to_codes(seq), k))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_separator_blocks_cross_record_windows():
+    k = 4
+    recs = [Record(b"a", b"ACGT"), Record(b"b", b"TTTT")]
+    for batch in iter_packed_batches(recs, k):
+        vals = codec.extract_kmers_np(
+            np.where(batch.invalid, codec.INVALID_CODE, batch.codes), k
+        )
+    # only ACGT and TTTT->AAAA; no chimeric windows like CGTT
+    assert set(vals.tolist()) == {
+        codec.canonical_u64(codec.seq_to_u64(b"ACGT", 4), 4),
+        codec.canonical_u64(codec.seq_to_u64(b"TTTT", 4), 4),
+    }
+
+
+def test_stream_file_batches_native_vs_python(tmp_path):
+    from orion_kmer_tpu.ingest import native
+
+    content = ">s1\nACGTACGTNNACGT\n>s2\nGGGGCCCCAAAA\n"
+    p = tmp_path / "x.fa"
+    p.write_text(content)
+    k = 5
+
+    def collect(batches):
+        out = []
+        for b in batches:
+            out.append(
+                codec.extract_kmers_np(
+                    np.where(b.invalid, codec.INVALID_CODE, b.codes), k
+                )
+            )
+        return np.sort(np.concatenate(out))
+
+    got = collect(stream_file_batches(p, k))
+    import os
+
+    os.environ["ORION_KMER_NATIVE"] = "0"
+    try:
+        # python fallback path through iter_packed_batches
+        from orion_kmer_tpu.ingest.fastx import parse_fastx_file
+
+        exp = collect(iter_packed_batches(parse_fastx_file(p), k))
+    finally:
+        os.environ["ORION_KMER_NATIVE"] = "1"
+    np.testing.assert_array_equal(got, exp)
