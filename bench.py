@@ -34,6 +34,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from orion_kmer_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from orion_kmer_tpu import codec
     from orion_kmer_tpu.ops.count import count_kmers
     from orion_kmer_tpu.ops.kmers import extract_canonical

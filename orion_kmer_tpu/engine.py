@@ -23,6 +23,9 @@ import numpy as np
 
 from . import codec
 from .errors import ContextError
+from .utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
 from .ingest.fastx import Record, parse_fastx_file
 from .ops.count import count_kmers, hits_per_read
 from .ops.kmers import extract_canonical, join_u64, split_u64
@@ -307,8 +310,10 @@ class DeviceCountTable:
             return
         size = _bucket(n)
         lanes, inv_words = pack_for_transfer(codes, size)
-        # table capacity must already hold its entries; batch adds <= size
-        self._ensure_capacity(_bucket(max(self._n_ub, 1)))
+        # table capacity must already hold its entries; batch adds <= size.
+        # Floor the capacity at the batch size so capacity stages (and
+        # hence distinct compiled merge shapes) are few: size, 2*size, ...
+        self._ensure_capacity(max(_bucket(max(self._n_ub, 1)), size))
         uhi, ulo, ucnt, n_u = merge_count_batch_packed(
             self._hi,
             self._lo,
@@ -328,7 +333,7 @@ class DeviceCountTable:
             self._sync()
         # compact: shrink capacity back to the bound's bucket so capacity
         # tracks distinct k-mers, not number of batches
-        newcap = _bucket(self._n_ub)
+        newcap = max(_bucket(self._n_ub), size)
         if newcap < self._cap:
             self._hi = self._hi[:newcap]
             self._lo = self._lo[:newcap]
