@@ -109,12 +109,15 @@ def unpack_lanes(lanes: jnp.ndarray, invalid_words: jnp.ndarray):
 
 @partial(jax.jit, static_argnames=("k",))
 def count_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
-    """count_codes over the packed wire format."""
-    from .kmers import extract_canonical
+    """count_codes over the packed wire format, via the lane-parallel
+    extractor (ops/kmers_lanes.py) -- no byte-per-base expansion, and
+    counting is order-independent so the (offset, lane) layout flattens
+    straight into the sort."""
+    from .kmers_lanes import extract_canonical_lanes
 
-    codes, invalid = unpack_lanes(lanes, invalid_words)
-    hi, lo, valid = extract_canonical(codes, invalid, k)
-    return count_kmers(hi, lo, valid)
+    n_positions = lanes.shape[0] * 16
+    hi, lo, valid = extract_canonical_lanes(lanes, invalid_words, k, n_positions)
+    return count_kmers(hi.reshape(-1), lo.reshape(-1), valid.reshape(-1))
 
 
 @partial(jax.jit, static_argnames=("k",))
