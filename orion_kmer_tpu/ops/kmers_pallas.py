@@ -33,14 +33,14 @@ def _kernel(a_ref, b_ref, c_ref, ma_ref, mb_ref, mc_ref, hi_ref, lo_ref, v_ref, 
     MA = ma_ref[:]
     MB = mb_ref[:]
     MC = mc_ref[:]
-    rows, cols = A.shape
     hi, lo, valid = extract_canonical_lane_math(
         A, B, C, MA, MB, MC, k, n_lanes_valid=None
     )
-    # stack axis 0 is the 16 offsets; flatten the (rows, cols) lane block
-    hi_ref[:] = hi.reshape(16, rows * cols)
-    lo_ref[:] = lo.reshape(16, rows * cols)
-    v_ref[:] = valid.reshape(16, rows * cols).astype(jnp.uint32)
+    # (16, rows, 128): offset-major stack; no in-kernel reshapes (Mosaic
+    # rejects sublane->lane shape casts), the caller flattens outside.
+    hi_ref[:] = hi
+    lo_ref[:] = lo
+    v_ref[:] = valid.astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -64,8 +64,9 @@ def extract_canonical_lanes_pallas(lanes, invalid_words, k: int, n_positions):
         (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (16, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        (16, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    total_rows = W // 128
     interpret = jax.default_backend() != "tpu"
     hi, lo, v = pl.pallas_call(
         partial(_kernel, k=k),
@@ -73,12 +74,15 @@ def extract_canonical_lanes_pallas(lanes, invalid_words, k: int, n_positions):
         in_specs=[in_spec] * 6,
         out_specs=[out_spec] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct((16, W), jnp.uint32),
-            jax.ShapeDtypeStruct((16, W), jnp.uint32),
-            jax.ShapeDtypeStruct((16, W), jnp.uint32),
+            jax.ShapeDtypeStruct((16, total_rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((16, total_rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((16, total_rows, 128), jnp.uint32),
         ],
         interpret=interpret,
     )(A, B, C, MA, MB, MC)
+    hi = hi.reshape(16, W)
+    lo = lo.reshape(16, W)
+    v = v.reshape(16, W)
 
     off = jax.lax.broadcasted_iota(jnp.int32, (16, W), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)

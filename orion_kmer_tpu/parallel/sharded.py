@@ -81,6 +81,85 @@ def make_sharded_count_step(mesh: Mesh, k: int):
     return jax.jit(fn)
 
 
+def make_sharded_count_step_a2a(mesh: Mesh, k: int, capacity_factor: float = 2.0):
+    """all_to_all variant of the sharded count step.
+
+    Instead of replicating every extracted k-mer to all chips
+    (all_gather), each chip sorts its k-mers by owner shard and sends
+    only the owner's share over ICI -- S times less traffic.  Per
+    (src, dst) capacity is ``capacity_factor * B / S``; an overflow flag
+    is returned (psum-reduced) so the caller can retry with a larger
+    factor, preserving exactness.  Uniform mix32 hashing makes overflow
+    at factor 2 vanishingly rare for non-adversarial inputs.
+
+    Returns fn(codes [S*B], invalid [S*B]) ->
+      (uhi [S, S*C], ulo [S, S*C], counts [S, S*C], n_unique [S],
+       overflow [S] int32)
+    """
+    from ..ops.kmers import SENTINEL
+
+    n_shards = mesh.devices.size
+
+    def per_device(codes_blk, invalid_blk):
+        codes_blk = codes_blk.reshape(-1)
+        invalid_blk = invalid_blk.reshape(-1)
+        hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
+        b = hi.shape[0]
+        cap = int(np.ceil(capacity_factor * b / n_shards))
+        hi = jnp.where(valid, hi, SENTINEL)
+        lo = jnp.where(valid, lo, SENTINEL)
+        owner = jnp.where(
+            valid, _owner_of(hi, lo, n_shards), jnp.uint32(n_shards)
+        )  # invalid entries sort past every real destination
+        sowner, shi, slo = jax.lax.sort((owner, hi, lo), num_keys=1)
+        dests = jnp.arange(n_shards, dtype=jnp.uint32)
+        starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
+        counts = ends - starts
+        overflow = (counts > cap).any().astype(jnp.int32)
+
+        # scatter each entry to slot owner*cap + rank_within_owner
+        idx = jnp.arange(b, dtype=jnp.int32)
+        rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+        dest_slot = jnp.where(
+            (sowner < n_shards) & (rank < cap),
+            sowner.astype(jnp.int32) * cap + rank,
+            n_shards * cap,  # dropped (invalid or overflow)
+        )
+        send_hi = jnp.full((n_shards * cap,), SENTINEL, U32).at[dest_slot].set(
+            shi, mode="drop"
+        )
+        send_lo = jnp.full((n_shards * cap,), SENTINEL, U32).at[dest_slot].set(
+            slo, mode="drop"
+        )
+
+        recv_hi = jax.lax.all_to_all(
+            send_hi.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+        ).reshape(-1)
+        recv_lo = jax.lax.all_to_all(
+            send_lo.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+        ).reshape(-1)
+
+        mine = ~((recv_hi == SENTINEL) & (recv_lo == SENTINEL))
+        uhi, ulo, cnt, nu = count_kmers(recv_hi, recv_lo, mine)
+        any_overflow = jax.lax.psum(overflow, "shard")
+        return uhi[None], ulo[None], cnt[None], nu[None], any_overflow[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("shard"), P("shard")),
+        out_specs=(
+            P("shard", None),
+            P("shard", None),
+            P("shard", None),
+            P("shard"),
+            P("shard"),
+        ),
+    )
+    return jax.jit(fn)
+
+
 def _shard_blocks(codes: np.ndarray, invalid: np.ndarray, k: int, n_shards: int):
     """Split a packed stream into S equal blocks with (k-1) halos.
 
@@ -106,27 +185,7 @@ def _shard_blocks(codes: np.ndarray, invalid: np.ndarray, k: int, n_shards: int)
     return out_codes.reshape(-1), out_invalid.reshape(-1), block
 
 
-def sharded_count(
-    codes: np.ndarray, invalid: np.ndarray, k: int, mesh: Mesh | None = None
-):
-    """Multi-chip canonical k-mer count of one packed stream.
-
-    Exactness: block halos ensure each window is produced once; hash
-    ownership ensures each distinct k-mer is counted by exactly one
-    shard.  Returns (vals uint64, counts int64) sorted ascending.
-    """
-    from .mesh import make_mesh
-
-    if mesh is None:
-        mesh = make_mesh()
-    n_shards = mesh.devices.size
-    blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, k, n_shards)
-    step = make_sharded_count_step(mesh, k)
-    sharding = NamedSharding(mesh, P("shard"))
-    uhi, ulo, cnt, nu = step(
-        jax.device_put(blk_codes, sharding), jax.device_put(blk_invalid, sharding)
-    )
-    uhi, ulo, cnt, nu = map(np.asarray, (uhi, ulo, cnt, nu))
+def _assemble(uhi, ulo, cnt, nu, n_shards):
     vals_parts, cnt_parts = [], []
     for s in range(n_shards):
         m = int(nu[s])
@@ -136,3 +195,42 @@ def sharded_count(
     counts = np.concatenate(cnt_parts)
     order = np.argsort(vals)
     return vals[order], counts[order]
+
+
+def sharded_count(
+    codes: np.ndarray,
+    invalid: np.ndarray,
+    k: int,
+    mesh: Mesh | None = None,
+    use_all_to_all: bool = True,
+    capacity_factor: float = 2.0,
+):
+    """Multi-chip canonical k-mer count of one packed stream.
+
+    Exactness: block halos ensure each window is produced once; hash
+    ownership ensures each distinct k-mer is counted by exactly one
+    shard.  Prefers the all_to_all routing (S times less ICI traffic);
+    on capacity overflow retries with doubled capacity, then falls back
+    to the replication path.  Returns (vals uint64, counts int64) sorted.
+    """
+    from .mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_shards = mesh.devices.size
+    blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, k, n_shards)
+    sharding = NamedSharding(mesh, P("shard"))
+    d_codes = jax.device_put(blk_codes, sharding)
+    d_invalid = jax.device_put(blk_invalid, sharding)
+
+    if use_all_to_all and n_shards > 1:
+        factor = capacity_factor
+        for _attempt in range(3):
+            step = make_sharded_count_step_a2a(mesh, k, factor)
+            uhi, ulo, cnt, nu, ovf = map(np.asarray, step(d_codes, d_invalid))
+            if int(ovf.max()) == 0:
+                return _assemble(uhi, ulo, cnt, nu, n_shards)
+            factor *= 2  # exact: retry with more headroom
+    step = make_sharded_count_step(mesh, k)
+    uhi, ulo, cnt, nu = map(np.asarray, step(d_codes, d_invalid))
+    return _assemble(uhi, ulo, cnt, nu, n_shards)

@@ -44,3 +44,34 @@ def test_sharded_count_shard_invariance():
 
 def test_mesh_has_8_cpu_devices():
     assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("k", [5, 21])
+def test_all_to_all_path_matches_oracle(k):
+    codes, invalid = _data(seed=11)
+    ref_vals = codec.extract_kmers_np(codes, k)
+    exp_vals, exp_counts = np.unique(ref_vals, return_counts=True)
+    vals, counts = sharded_count(
+        codes, invalid, k, mesh=make_mesh(n_devices=8), use_all_to_all=True
+    )
+    np.testing.assert_array_equal(vals, exp_vals)
+    np.testing.assert_array_equal(counts, exp_counts)
+
+
+def test_all_to_all_overflow_retry_is_exact():
+    # skewed input: one k-mer dominates -> its owner shard overflows a
+    # tiny capacity; the retry/fallback chain must stay exact
+    k = 7
+    codes = codec.seq_to_codes(b"ACGTACG" * 800)  # highly repetitive
+    invalid = codes == codec.INVALID_CODE
+    exp_vals, exp_counts = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+    vals, counts = sharded_count(
+        codes,
+        invalid,
+        k,
+        mesh=make_mesh(n_devices=8),
+        use_all_to_all=True,
+        capacity_factor=0.05,  # force overflow on the first attempts
+    )
+    np.testing.assert_array_equal(vals, exp_vals)
+    np.testing.assert_array_equal(counts, exp_counts)
