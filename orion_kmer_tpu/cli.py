@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "-o", "--output-file", required=True, help="Output path for the binary k-mer database"
     )
+    b.add_argument(
+        "--checkpoint",
+        default=None,
+        help="Optional: checkpoint file for resumable multi-genome builds",
+    )
 
     # compare (cli.rs:80-95)
     cp = sub.add_parser("compare", help="Compare two k-mer databases")

@@ -120,3 +120,20 @@ def test_profile_db_k_mismatch(tmp_path, capsys):
     rc = run_cli("profile", "-k", 4, "--manifest", manifest, "-o", tmp_path / "p", "-d", db)
     assert rc == 1
     assert "has k=5" in capsys.readouterr().err
+
+
+def test_build_checkpoint_resume(tmp_path):
+    f1 = write_file(tmp_path / "g1.fa", ">a\nACGTACGTACGT\n")
+    f2 = write_file(tmp_path / "g2.fa", ">b\nTTTTCCCC\n")
+    ckpt = tmp_path / "build.ckpt"
+    db1 = tmp_path / "d1.db"
+    assert run_cli("build", "-k", 4, "-g", f1, "-o", db1, "--checkpoint", ckpt) == 0
+    db2 = tmp_path / "d2.db"
+    assert (
+        run_cli("build", "-k", 4, "-g", f1, f2, "-o", db2, "--checkpoint", ckpt) == 0
+    )
+    from orion_kmer_tpu.db import KmerDb
+
+    db = KmerDb.load(db2)
+    assert set(db.references) == {"g1.fa", "g2.fa"}
+    assert db.references["g1.fa"].shape[0] == 3  # ACGT, CGTA, GTAC
