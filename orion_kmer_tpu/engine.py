@@ -256,112 +256,64 @@ class CountAccumulator:
 
 
 class DeviceCountTable:
-    """Device-resident merged count table.
+    """Device-resident count accumulation as an LSM-style merge forest.
 
-    Folds batch after batch into a sorted-unique (hi, lo, count) table in
-    HBM (ops.count.merge_count_batch) and fetches host-side only at
-    flush -- the design the tunnel/PCIe economics demand: one device->
-    host transfer per ~2^30 windows instead of one per batch, with
-    duplicate k-mers already collapsed on device.
+    Each batch becomes a sorted-unique weighted run on device
+    (count_packed); runs of equal capacity merge pairwise into a run of
+    double capacity (ops.count.merge_runs), binary-counter style.  Every
+    element therefore participates in O(log(total/batch)) device sorts
+    instead of one whole-table re-merge per batch, there are NO blocking
+    host syncs mid-stream (valid counts stay as device scalars), and the
+    host sees data only at flush -- one transfer per ~2^30 windows, with
+    duplicates already collapsed on device.
 
-    Counts are int32 on device; a flush to the host (int64) accumulator
-    is forced before any k-mer could see 2^31 occurrences.
+    Counts are int32 on device; the flush bound keeps any k-mer's count
+    < 2^31 before it reaches the host's int64 accumulator.
     """
 
     FLUSH_WINDOWS = 1 << 30
-    SYNC_EVERY = 8  # batches between exact-size syncs (each sync is a
-    # blocking scalar fetch; between syncs the host tracks an upper bound
-    # so packing of batch i+1 overlaps the device merge of batch i)
 
     def __init__(self, k: int):
-        from .ops.kmers import SENTINEL
-
         self.k = k
-        self._sentinel = SENTINEL
-        self._hi = None  # device arrays, capacity = _cap
-        self._lo = None
-        self._cnt = None
-        self._n_dev = jnp.int32(0)  # valid entries (device scalar)
-        self._n_ub = 0  # host-side upper bound on valid entries
-        self._cap = 0
-        self._updates_since_sync = 0
+        # capacity (power of two) -> run tuple (hi, lo, cnt, n_dev)
+        self._runs: dict[int, tuple] = {}
         self._windows_since_flush = 0
         self._acc = CountAccumulator()
 
-    def _ensure_capacity(self, cap: int):
-        if cap <= self._cap:
-            return
-        pad = cap - self._cap
-        shi = jnp.full((pad,), self._sentinel, jnp.uint32)
-        scnt = jnp.zeros((pad,), jnp.int32)
-        if self._hi is None:
-            self._hi, self._lo, self._cnt = shi, shi, scnt
-        else:
-            self._hi = jnp.concatenate([self._hi, shi])
-            self._lo = jnp.concatenate([self._lo, shi])
-            self._cnt = jnp.concatenate([self._cnt, scnt])
-        self._cap = cap
-
     def update(self, codes: np.ndarray):
-        from .ops.count import merge_count_batch_packed
+        from .ops.count import count_packed, merge_runs
 
         n = codes.shape[0]
         if n == 0:
             return
         size = _bucket(n)
         lanes, inv_words = pack_for_transfer(codes, size)
-        # table capacity must already hold its entries; batch adds <= size.
-        # Floor the capacity at the batch size so capacity stages (and
-        # hence distinct compiled merge shapes) are few: size, 2*size, ...
-        self._ensure_capacity(max(_bucket(max(self._n_ub, 1)), size))
-        uhi, ulo, ucnt, n_u = merge_count_batch_packed(
-            self._hi,
-            self._lo,
-            self._cnt,
-            self._n_dev,
-            jnp.asarray(lanes),
-            jnp.asarray(inv_words),
-            self.k,
+        uhi, ulo, ucnt, n_u = count_packed(
+            jnp.asarray(lanes), jnp.asarray(inv_words), self.k
         )
-        # merged arrays have size cap+size; keep them as the new table
-        self._hi, self._lo, self._cnt = uhi, ulo, ucnt
-        self._cap = int(uhi.shape[0])
-        self._n_dev = n_u
-        self._n_ub = min(self._n_ub + size, self._cap)
-        self._updates_since_sync += 1
-        if self._updates_since_sync >= self.SYNC_EVERY:
-            self._sync()
-        # compact: shrink capacity back to the bound's bucket so capacity
-        # tracks distinct k-mers, not number of batches
-        newcap = max(_bucket(self._n_ub), size)
-        if newcap < self._cap:
-            self._hi = self._hi[:newcap]
-            self._lo = self._lo[:newcap]
-            self._cnt = self._cnt[:newcap]
-            self._cap = newcap
+        run = (uhi, ulo, ucnt, n_u)
+        cap = size  # count_packed output arrays have one slot per position
+        # binary-counter cascade: merge equal-capacity runs upward
+        while cap in self._runs:
+            other = self._runs.pop(cap)
+            a_hi, a_lo, a_cnt, a_n = other
+            b_hi, b_lo, b_cnt, b_n = run
+            run = merge_runs(a_hi, a_lo, a_cnt, a_n, b_hi, b_lo, b_cnt, b_n)
+            cap *= 2
+        self._runs[cap] = run
         self._windows_since_flush += n
         if self._windows_since_flush >= self.FLUSH_WINDOWS:
             self.flush()
 
-    def _sync(self):
-        """Blocking fetch of the exact unique count; tightens the bound."""
-        self._n_ub = int(self._n_dev)
-        self._updates_since_sync = 0
-
     def flush(self):
-        if self._hi is None:
-            self._windows_since_flush = 0
-            return
-        self._sync()
-        n = self._n_ub
-        if n:
-            vals = join_u64(np.asarray(self._hi[:n]), np.asarray(self._lo[:n]))
-            cnts = np.asarray(self._cnt[:n]).astype(np.int64)
-            self._acc.add(vals, cnts)
-        self._hi = self._lo = self._cnt = None
-        self._n_dev = jnp.int32(0)
-        self._n_ub = 0
-        self._cap = 0
+        for cap in sorted(self._runs):
+            hi, lo, cnt, n_dev = self._runs[cap]
+            n = int(n_dev)
+            if n:
+                vals = join_u64(np.asarray(hi[:n]), np.asarray(lo[:n]))
+                cnts = np.asarray(cnt[:n]).astype(np.int64)
+                self._acc.add(vals, cnts)
+        self._runs = {}
         self._windows_since_flush = 0
 
     def result(self) -> tuple[np.ndarray, np.ndarray]:
@@ -398,11 +350,42 @@ def count_records(
     return acc.result()
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Run an iterator on a background thread with a bounded queue so host
+    parse/pack overlaps device compute (PP stage overlap, SURVEY 2.3)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
 def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Canonical k-mer counts of one file via the fastest ingest path:
-    native parse -> device-resident accumulation -> single fetch."""
+    native parse -> prefetch -> device-resident accumulation -> one fetch."""
     table = DeviceCountTable(k)
-    for batch in stream_file_batches(path, k, normalize=normalize):
+    for batch in _prefetch(stream_file_batches(path, k, normalize=normalize)):
         table.update(batch.codes)
     return table.result()
 

@@ -120,6 +120,20 @@ def count_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
     return count_kmers(hi.reshape(-1), lo.reshape(-1), valid.reshape(-1))
 
 
+@jax.jit
+def merge_runs(a_hi, a_lo, a_cnt, a_n, b_hi, b_lo, b_cnt, b_n):
+    """Merge two sorted-unique weighted runs into one (LSM-forest step).
+
+    Inputs are sentinel-padded past their valid counts a_n / b_n; output
+    arrays have size len(a) + len(b), sorted unique with summed counts.
+    """
+    hi = jnp.concatenate([a_hi, b_hi])
+    lo = jnp.concatenate([a_lo, b_lo])
+    cnt = jnp.concatenate([a_cnt, b_cnt])
+    shi, slo, scnt = jax.lax.sort((hi, lo, cnt), num_keys=2)
+    return _rle_sorted(shi, slo, a_n + b_n, weights=scnt)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def merge_count_batch_packed(
     table_hi, table_lo, table_cnt, n_table, lanes, invalid_words, k: int
