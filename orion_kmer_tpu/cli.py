@@ -219,6 +219,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
 
+    # host worker threads (-t, 0 = all cores; utils.rs:17-25 semantics):
+    # consumed by cohort batch fetchers and the ingest prefetcher
+    import os
+
+    from .utils import get_num_threads
+
+    os.environ["ORION_KMER_THREADS"] = str(get_num_threads(args.threads))
+
     from .commands import build, classify, compare, count, profile, query, sketch
 
     dispatch = {

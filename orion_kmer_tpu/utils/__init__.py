@@ -1,3 +1,3 @@
-from .progress import track_progress_and_resources, setup_logging
+from .progress import get_num_threads, setup_logging, track_progress_and_resources
 
-__all__ = ["track_progress_and_resources", "setup_logging"]
+__all__ = ["track_progress_and_resources", "setup_logging", "get_num_threads"]

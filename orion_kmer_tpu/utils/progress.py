@@ -15,6 +15,15 @@ import time
 
 logger = logging.getLogger("orion_kmer_tpu")
 
+
+def get_num_threads(cli_threads: int) -> int:
+    """0 means all logical cores (utils.rs:17-25)."""
+    import os
+
+    n = (os.cpu_count() or 1) if cli_threads == 0 else cli_threads
+    logger.debug("Using %d threads for processing.", n)
+    return n
+
 TRACE = 5
 logging.addLevelName(TRACE, "TRACE")
 

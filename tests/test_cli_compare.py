@@ -93,3 +93,13 @@ def test_compare_db_not_found(tmp_path, capsys):
     rc, _ = run_compare(tmp_path, db1, tmp_path / "missing.db")
     assert rc == 1
     assert "missing.db" in capsys.readouterr().err
+
+
+def test_compare_corrupt_db(tmp_path, capsys):
+    db1 = build_db(tmp_path, 4, [("a.fa", FASTA_DB1)])
+    bad = tmp_path / "corrupt.db"
+    bad.write_bytes(b"\x07" + b"\xff" * 64)
+    rc, _ = run_compare(tmp_path, db1, bad)
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "corrupt.db" in err

@@ -276,3 +276,12 @@ class TestManifest:
         s = cohort_stats(records)
         assert s.n_runs == 195922
         assert s.n_studies == 4101
+
+
+def test_get_num_threads():
+    import os
+
+    from orion_kmer_tpu.utils import get_num_threads
+
+    assert get_num_threads(4) == 4
+    assert get_num_threads(0) == (os.cpu_count() or 1)
