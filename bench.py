@@ -29,9 +29,9 @@ import time
 import numpy as np
 
 K = 31
-DEVICE_N = 1 << 24  # positions per device step (16M)
+DEVICE_N = 1 << 20  # positions per device step (1M: best kmers/s; sort is n log n)
 CPU_PROXY_N = 1 << 21  # positions for the CPU proxy measurement (2M)
-ITERS = 20
+ITERS = 64
 
 
 def main() -> None:
