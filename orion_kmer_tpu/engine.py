@@ -420,6 +420,33 @@ def _query_step(codes, owner, db_hi, db_lo, db_valid, k: int, num_reads: int):
     return hits_per_read(member, owner, num_reads)
 
 
+@partial(jax.jit, static_argnames=("k", "num_reads"))
+def _query_step_packed(
+    lanes, inv_words, local_starts, db_hi, db_lo, db_valid, k: int, num_reads: int,
+    n_positions,
+):
+    """Wire-format query step: lane extraction + on-device read ownership.
+
+    ``local_starts`` are the batch-local record start positions (first
+    record clamped to 0; padding indices out of range are dropped), so
+    owner[p] = (#starts <= p) - 1 comes from a scatter + cumsum instead
+    of shipping a 4-byte owner per base.
+    """
+    from .ops.kmers_lanes import extract_canonical_lanes
+
+    W = lanes.shape[0]
+    N = 16 * W
+    hi, lo, valid = extract_canonical_lanes(lanes, inv_words, k, n_positions)
+    member = membership(
+        hi.reshape(-1), lo.reshape(-1), valid.reshape(-1), db_hi, db_lo, db_valid
+    )
+    start_marks = jnp.zeros((N,), jnp.int32).at[local_starts].add(1, mode="drop")
+    owner_flat = jnp.cumsum(start_marks) - 1  # position order
+    # align with the (offset, lane) layout of member: index = o * W + w
+    owner_ow = owner_flat.reshape(W, 16).T.reshape(-1)
+    return hits_per_read(member, owner_ow, num_reads)
+
+
 def _query_batches(
     db_dev, batches: Iterable[PackedBatch], k: int, min_hits: int, eligible
 ) -> list[bytes]:
@@ -468,7 +495,7 @@ def query_records(
     return _query_batches(db_dev, batches, k, min_hits, lambda g: lens[g] >= k)
 
 
-def query_file(db_vals: np.ndarray, path, k: int, min_hits: int) -> list[bytes]:
+def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions: int = DEFAULT_BATCH) -> list[bytes]:
     """Native-ingest query path: one C pass over the reads file."""
     from .ingest import native
     from .ingest.compress import read_bytes
@@ -490,11 +517,43 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int) -> list[bytes]:
     sep = k - 1
     starts = np.concatenate([[0], rec_ends[:-1] + sep])
     lens = rec_ends - starts
+    region_end = rec_ends + sep  # record region incl. its separator
     db_dev = _query_db_device(db_vals)
-    batches = _iter_batches_from_packed(
-        codes, rec_ends, ids, k, DEFAULT_BATCH, with_owner=True
-    )
-    return _query_batches(db_dev, batches, k, min_hits, lambda g: lens[g] >= k)
+    n = codes.shape[0]
+    all_hits = np.zeros(len(ids), dtype=np.int64)
+    a = 0
+    while n > 0:
+        b = min(a + batch_positions, n)
+        first = int(np.searchsorted(region_end, a, side="right"))
+        last = min(
+            int(np.searchsorted(region_end, b - 1, side="right")), len(ids) - 1
+        )
+        nr = last - first + 1
+        size = _bucket(b - a)
+        lanes, inv_words = pack_for_transfer(codes[a:b], size)
+        nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
+        local_starts = np.maximum(starts[first : last + 1] - a, 0).astype(np.int32)
+        ls = _pad(local_starts, nr_bucket, size)  # pad = out-of-range, dropped
+        hits = np.asarray(
+            _query_step_packed(
+                jnp.asarray(lanes),
+                jnp.asarray(inv_words),
+                jnp.asarray(ls),
+                *db_dev,
+                k,
+                nr_bucket,
+                jnp.int32(b - a),
+            )
+        )
+        all_hits[first : last + 1] += hits[:nr]
+        if b >= n:
+            break
+        a = b - (k - 1)  # halo: boundary windows produced exactly once
+    return [
+        ids[i]
+        for i in range(len(ids))
+        if all_hits[i] >= min_hits and lens[i] >= k
+    ]
 
 
 def membership_and_depth(

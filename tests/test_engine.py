@@ -121,3 +121,52 @@ def test_stream_file_batches_native_vs_python(tmp_path):
     finally:
         os.environ["ORION_KMER_NATIVE"] = "1"
     np.testing.assert_array_equal(got, exp)
+
+
+def test_query_file_batch_split_exact(tmp_path):
+    # reads spanning device-batch boundaries: hits must sum across batches
+    import numpy as np
+
+    from orion_kmer_tpu.engine import query_file
+
+    rng = np.random.default_rng(5)
+    k = 11
+    db_seqs = ["".join(rng.choice(list("ACGT"), size=500)) for _ in range(3)]
+    reads = []
+    for i in range(40):
+        src = db_seqs[i % 3]
+        start = int(rng.integers(0, len(src) - 60))
+        seq = src[start : start + 50 + int(rng.integers(0, 10))]
+        if i % 5 == 0:
+            seq = "".join(rng.choice(list("ACGT"), size=len(seq)))  # noise read
+        reads.append((f"r{i}", seq))
+    reads_file = tmp_path / "reads.fastq"
+    reads_file.write_text(
+        "".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n" for rid, seq in reads)
+    )
+
+    db_vals = np.unique(
+        np.concatenate(
+            [
+                codec.extract_kmers_np(codec.seq_to_codes(s.encode()), k)
+                for s in db_seqs
+            ]
+        )
+    )
+
+    def oracle(min_hits):
+        out = []
+        for rid, seq in reads:
+            km = codec.extract_kmers_np(
+                codec.seq_to_codes(seq.encode(), normalize=False), k
+            )
+            hits = int(np.isin(km, db_vals).sum())
+            if len(seq) >= k and hits >= min_hits:
+                out.append(rid.encode())
+        return out
+
+    for min_hits in (1, 5, 40):
+        got_small = query_file(db_vals, reads_file, k, min_hits, batch_positions=256)
+        got_big = query_file(db_vals, reads_file, k, min_hits)
+        assert got_small == oracle(min_hits), min_hits
+        assert got_big == oracle(min_hits), min_hits
