@@ -75,6 +75,27 @@ def main() -> None:
     n_windows = DEVICE_N - K + 1
     device_kmers_per_s = n_windows / dt
 
+    # Secondary metric: FracMinHash sketching throughput (Gbp/s), the
+    # other half of the BASELINE.json north-star.
+    from orion_kmer_tpu.ops.sketch import sketch_batch
+    from orion_kmer_tpu.ops.count import unpack_lanes
+
+    @jax.jit
+    def sketch_step(lanes, inv, carry):
+        inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
+        codes, invalid = unpack_lanes(lanes, inv)
+        return sketch_batch(codes, invalid, K, 1000)[3]
+
+    carry = sketch_step(dl, di, jnp.int32(0))
+    int(carry)
+    t0 = time.perf_counter()
+    carry = jnp.int32(0)
+    for _ in range(ITERS):
+        carry = sketch_step(dl, di, carry)
+    int(carry)
+    sketch_dt = (time.perf_counter() - t0) / ITERS
+    sketch_gbps = DEVICE_N / sketch_dt / 1e9
+
     # CPU proxy (single-core numpy, identical semantics)
     proxy_codes = codes[:CPU_PROXY_N]
     t0 = time.perf_counter()
@@ -93,6 +114,7 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "step_seconds": round(dt, 4),
         "positions_per_step": DEVICE_N,
+        "sketch_gbps_scaled1000": round(sketch_gbps, 3),
     }
     print(json.dumps(result))
 
