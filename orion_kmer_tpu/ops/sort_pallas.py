@@ -1,0 +1,336 @@
+"""Pallas TPU bitonic sort / merge for (hi, lo[, cnt]) u32 planes.
+
+Replaces jax.lax.sort on the two hot paths of the counting pipeline
+(the reference's DashMap insert loop, count.rs:30-35, became sort+RLE
+on TPU -- see ops/count.py):
+
+* ``sort_pairs``   -- full bitonic sort of a fresh chunk's canonical
+  k-mer pairs (the per-chunk "insert" step).
+* ``merge_runs_planes`` -- bitonic *merge* of two already-sorted runs
+  (the LSM forest level-up step).  A merge needs only log2(n) stages
+  versus log2(n)*(log2(n)+1)/2 for a full sort, and every stage is an
+  all-ascending compare-exchange with no direction masks, so this is
+  ~10-15x cheaper than the lax.sort it replaces.
+
+Layout: the flat input is viewed as memory (R, 128); the kernel sorts
+in COLUMN-MAJOR logical order (element i lives at row i % R, lane
+i // R).  That makes every stage with stride < R a sublane-dimension
+reshape + select (cheap on the VPU) and only the top log2(128) = 7
+logical bits lane-crossing (handled with pltpu.roll).  Sorting is
+permutation-invariant so the input needs no pre-permutation; the output
+is un-transposed back to row-major flat form with one XLA transpose.
+
+Off-TPU the public wrappers fall back to jax.lax.sort (bit-identical
+semantics: ascending lexicographic on the (hi, lo) u64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+_LANES = 128
+# Single-kernel size cap for the full monolithic sort (elements).
+# Mosaic compile time scales roughly with unrolled stages x sublane
+# rows: a 2^14 network (91 stages on (128,128)) compiles in ~17 s, a
+# 2^16 one does not finish in 10 min.  The monolith is therefore OFF by
+# default (lax.sort is used for chunk sorts); the merge path below uses
+# few stages on small blocks and compiles quickly.
+MAX_SORT_N = 1 << 14
+# Per-grid-block size for the tiled merge tail (3 planes live in VMEM;
+# 15 stages on (256,128) blocks keeps the Mosaic program small).
+MERGE_BLOCK = 1 << 15
+
+
+def _log2(n: int) -> int:
+    b = n.bit_length() - 1
+    assert 1 << b == n, f"not a power of two: {n}"
+    return b
+
+
+def _lex_gt(a_hi, a_lo, b_hi, b_lo):
+    """(a_hi, a_lo) > (b_hi, b_lo) as unsigned 64-bit."""
+    return (a_hi > b_hi) | ((a_hi == b_hi) & (a_lo > b_lo))
+
+
+def _ce_rows(planes, s: int, desc_mask_fn):
+    """Compare-exchange at row stride s (< R) on (R, 128) planes.
+
+    desc_mask_fn(g_iota (G,1,1,1), lane_iota (1,1,1,128)) -> bool mask,
+    True where the pair's block sorts descending.  Returns new planes.
+    """
+    R = planes[0].shape[0]
+    G = R // (2 * s)
+    views = [p.reshape(G, 2, s, _LANES) for p in planes]
+    a = [v[:, 0] for v in views]  # (G, s, 128), lower logical index
+    b = [v[:, 1] for v in views]
+    gt = _lex_gt(a[0], a[1], b[0], b[1])
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANES), 2)
+    desc = desc_mask_fn(g_iota, l_iota)
+    swap = gt ^ desc  # on equal keys gt=False: swap in desc blocks is harmless
+    out = []
+    for pa, pb in zip(a, b):
+        na = jnp.where(swap, pb, pa)
+        nb = jnp.where(swap, pa, pb)
+        out.append(jnp.stack([na, nb], axis=1).reshape(R, _LANES))
+    return out
+
+
+def _ce_lanes(planes, e: int, desc_mask_fn):
+    """Compare-exchange at lane stride e (partner lane = lane XOR e).
+
+    desc_mask_fn(lane_iota (1,128)) -> bool mask of descending blocks.
+    """
+    R = planes[0].shape[0]
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    is_low = (l_iota & e) == 0  # this lane holds the lower logical index
+    partners = []
+    for p in planes:
+        fwd = pltpu.roll(p, _LANES - e, 1)  # value from lane + e
+        bwd = pltpu.roll(p, e, 1)  # value from lane - e
+        partners.append(jnp.where(is_low, fwd, bwd))
+    lo_hi = [jnp.where(is_low, p, q) for p, q in zip(planes, partners)]
+    hi_hi = [jnp.where(is_low, q, p) for p, q in zip(planes, partners)]
+    gt = _lex_gt(lo_hi[0], lo_hi[1], hi_hi[0], hi_hi[1])
+    desc = desc_mask_fn(l_iota)
+    # swap is identical on both lanes of a pair (gt is computed on the
+    # same (low, high) values and the direction bit p > j is shared), so
+    # each lane just takes its partner's value when swapping
+    swap = gt ^ desc
+    return [jnp.where(swap, q, p) for p, q in zip(planes, partners)]
+
+
+def _bitonic_stage(planes, p: int, j: int, logR: int):
+    """One compare-exchange stage: pass p (block 2^p), stride 2^j.
+
+    Logical index i = lane * R + row.  Direction: block descending iff
+    bit p of i is set (final pass p == log2(n) has bit p always 0 =>
+    all ascending).  Bit b of i is row bit b when b < logR, else lane
+    bit (b - logR).
+    """
+    s = 1 << j
+    R = planes[0].shape[0]
+    if s < R:
+        if p < logR:
+            # direction bit is a row bit; within the (G, 2, s) row view,
+            # row = g*2s + h*s + r, so bit p (>= j+1) is bit (p-j-1) of g
+            def desc(g_iota, l_iota):
+                return ((g_iota >> (p - j - 1)) & 1) == 1
+        else:
+
+            def desc(g_iota, l_iota):
+                return ((l_iota >> (p - logR)) & 1) == 1
+
+        return _ce_rows(planes, s, desc)
+    else:
+        e = s // R  # lane distance
+
+        def desc(l_iota):
+            return ((l_iota >> (p - logR)) & 1) == 1
+
+        return _ce_lanes(planes, e, desc)
+
+
+def _sort_kernel(n_planes: int, logn: int, logR: int, merge_only: bool):
+    def kernel(*refs):
+        planes = [r[:] for r in refs[:n_planes]]
+        outs = refs[n_planes:]
+        if merge_only:
+            # input = ascending run ++ reversed ascending run (bitonic);
+            # a single merge pass, all ascending
+            for j in range(logn - 1, -1, -1):
+                planes = _bitonic_stage(planes, logn, j, logR)
+        else:
+            for p in range(1, logn + 1):
+                for j in range(p - 1, -1, -1):
+                    planes = _bitonic_stage(planes, p, j, logR)
+        for o, pl_ in zip(outs, planes):
+            o[:] = pl_
+
+    return kernel
+
+
+def _run_network(planes, merge_only: bool, interpret: bool):
+    n = planes[0].shape[0]
+    logn = _log2(n)
+    R = n // _LANES
+    logR = _log2(R)
+    if merge_only:
+        # the network operates in column-major logical order; a merge
+        # (unlike a full sort) needs the input's bitonic structure
+        # preserved in that order, so lay it out column-major first
+        planes2d = [p.reshape(_LANES, R).T for p in planes]
+    else:
+        # sorting is permutation-invariant: reinterpret memory directly
+        planes2d = [p.reshape(R, _LANES) for p in planes]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _sort_kernel(len(planes), logn, logR, merge_only),
+        in_specs=[spec] * len(planes),
+        out_specs=[spec] * len(planes),
+        out_shape=[jax.ShapeDtypeStruct((R, _LANES), U32)] * len(planes),
+        interpret=interpret,
+    )(*planes2d)
+    # logical column-major -> flat ascending order
+    return [o.T.reshape(-1) for o in outs]
+
+
+def _ce_xla_asc(planes2d, s: int):
+    """XLA compare-exchange at element stride s (>= 128), all ascending.
+
+    planes2d are (rows, 128) views of the flat sequence (logical index =
+    row*128 + lane).  The reshape touches leading dims only, keeping the
+    minor-dim layout at 128 lanes -- reshaping to flat (G, 2, s) shapes
+    instead makes XLA relayout every stage (~10x slower, measured).
+    Only the low-stride tail (where VMEM reuse across stages pays) goes
+    to Pallas.
+    """
+    R = planes2d[0].shape[0]
+    d = s // _LANES
+    G = R // (2 * d)
+    views = [p.reshape(G, 2, d, _LANES) for p in planes2d]
+    a = [v[:, 0] for v in views]
+    b = [v[:, 1] for v in views]
+    gt = _lex_gt(a[0], a[1], b[0], b[1])
+    out = []
+    for pa, pb in zip(a, b):
+        na = jnp.where(gt, pb, pa)
+        nb = jnp.where(gt, pa, pb)
+        out.append(jnp.stack([na, nb], axis=1).reshape(R, _LANES))
+    return out
+
+
+def _merge_tail_kernel(n_planes: int, logB: int):
+    """Gridded Pallas kernel: ascending bitonic merge of each block.
+
+    Blocks are contiguous flat slices; logical order inside a block is
+    plain row-major (= flat order), so no transposes are needed: strides
+    >= 128 are sublane reshapes, strides < 128 are lane rolls.
+    """
+
+    def no_desc_rows(g_iota, l_iota):
+        return jnp.zeros((), jnp.bool_)
+
+    def no_desc_lanes(l_iota):
+        return jnp.zeros((), jnp.bool_)
+
+    def kernel(*refs):
+        planes = [r[:] for r in refs[:n_planes]]
+        for j in range(logB - 1, -1, -1):
+            s = 1 << j
+            if s >= _LANES:
+                planes = _ce_rows(planes, s // _LANES, no_desc_rows)
+            else:
+                planes = _ce_lanes(planes, s, no_desc_lanes)
+        for o, p in zip(refs[n_planes:], planes):
+            o[:] = p
+
+    return kernel
+
+
+def _merge_halves(a_planes, b_planes, interpret: bool):
+    """Merge two ascending runs a (len na) and b (len nb), na+nb = 2^m.
+
+    Works directly on the bitonic-split recursion: the first stage pairs
+    a[i] with reversed-b[i]; both the min-half and the max-half of a
+    bitonic split are themselves bitonic in stored order, so no materialized
+    reversal of b or re-reversal of the upper half is ever needed.
+    """
+    n = a_planes[0].shape[0] + b_planes[0].shape[0]
+    rows = n // _LANES
+    # first stage: elementwise a vs flipped b (flip fuses into the select)
+    na = a_planes[0].shape[0]
+    if na != n // 2:
+        # unequal split: fall back to a materialized bitonic sequence
+        planes2d = [
+            jnp.concatenate([pa, pb[::-1]]).reshape(rows, _LANES)
+            for pa, pb in zip(a_planes, b_planes)
+        ]
+        s = n // 2
+    else:
+        a2 = [p.reshape(rows // 2, _LANES) for p in a_planes]
+        rb = [jnp.flip(p.reshape(rows // 2, _LANES), (0, 1)) for p in b_planes]
+        gt = _lex_gt(a2[0], a2[1], rb[0], rb[1])
+        planes2d = [
+            jnp.concatenate([jnp.where(gt, q, p), jnp.where(gt, p, q)])
+            for p, q in zip(a2, rb)
+        ]
+        s = n // 4
+    B = min(n, MERGE_BLOCK)
+    while s >= B:
+        planes2d = _ce_xla_asc(planes2d, s)
+        s //= 2
+    Rb = B // _LANES
+    spec = pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _merge_tail_kernel(len(planes2d), _log2(B)),
+        grid=(n // B,),
+        in_specs=[spec] * len(planes2d),
+        out_specs=[spec] * len(planes2d),
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * len(planes2d),
+        interpret=interpret,
+    )(*planes2d)
+    return [o.reshape(-1) for o in outs]
+
+
+def _pallas_ok(n: int, cap: int) -> bool:
+    return n >= (1 << 14) and (n & (n - 1)) == 0 and n <= cap
+
+
+def use_pallas_sort() -> bool:
+    import os
+
+    if os.environ.get("ORION_KMER_PALLAS_SORT", "1") == "0":
+        return False
+    return True
+
+
+@jax.jit
+def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
+    """Ascending lexicographic sort of (hi, lo) u32 pairs (u64 order).
+
+    Pallas bitonic network on TPU for power-of-two sizes within the
+    single-kernel cap; jax.lax.sort otherwise.
+    """
+    n = hi.shape[0]
+    if not (use_pallas_sort() and _pallas_ok(n, MAX_SORT_N)):
+        return jax.lax.sort((hi, lo), num_keys=2)
+    interpret = jax.default_backend() != "tpu"
+    shi, slo = _run_network([hi, lo], merge_only=False, interpret=interpret)
+    return shi, slo
+
+
+@jax.jit
+def merge_sorted_pairs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
+    """Merge two ascending-sorted weighted runs (any length split).
+
+    Inputs are sorted ascending by (hi, lo) with int32 counts (sentinel
+    padding sorts to the end).  a ++ reversed(b) is bitonic, so a single
+    bitonic-merge pass (log n all-ascending stages, no direction masks)
+    sorts it -- ~10x fewer stages than the full lax.sort it replaces.
+    Returns the merged ascending triple of length len(a) + len(b).
+    """
+    n = a_hi.shape[0] + b_hi.shape[0]
+    if not (use_pallas_sort() and _pallas_ok(n, 1 << 62)):
+        shi, slo, scnt = jax.lax.sort(
+            (
+                jnp.concatenate([a_hi, b_hi]),
+                jnp.concatenate([a_lo, b_lo]),
+                jnp.concatenate([a_cnt, b_cnt]),
+            ),
+            num_keys=2,
+        )
+        return shi, slo, scnt
+    interpret = jax.default_backend() != "tpu"
+    shi, slo, scnt = _merge_halves(
+        [a_hi, a_lo, a_cnt.astype(U32)],
+        [b_hi, b_lo, b_cnt.astype(U32)],
+        interpret=interpret,
+    )
+    return shi, slo, scnt.astype(jnp.int32)

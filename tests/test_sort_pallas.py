@@ -1,0 +1,121 @@
+"""Bitonic sort/merge network vs numpy oracles (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orion_kmer_tpu.ops import sort_pallas as sp
+
+
+def _rand_pairs(rng, n, hi_bits=30):
+    hi = rng.integers(0, 1 << hi_bits, size=n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+    return hi, lo
+
+
+def _np_sorted(hi, lo):
+    v = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    v.sort()
+    return (v >> np.uint64(32)).astype(np.uint32), v.astype(np.uint32)
+
+
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sort_pairs_matches_numpy(n, seed):
+    rng = np.random.default_rng(seed)
+    hi, lo = _rand_pairs(rng, n)
+    # inject duplicates and extremes
+    hi[: n // 8] = hi[n // 8 : n // 4]
+    lo[: n // 16] = lo[n // 16 : n // 8]
+    hi[0] = lo[0] = 0
+    hi[1] = lo[1] = 0xFFFFFFFF
+    shi, slo = sp.sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
+    ehi, elo = _np_sorted(hi, lo)
+    np.testing.assert_array_equal(np.asarray(shi), ehi)
+    np.testing.assert_array_equal(np.asarray(slo), elo)
+
+
+@pytest.mark.parametrize("split", [(1 << 13, 1 << 13), (1 << 14, 1 << 14)])
+def test_merge_sorted_pairs_matches_numpy(split):
+    na, nb = split
+    rng = np.random.default_rng(42)
+    a_hi, a_lo = _rand_pairs(rng, na)
+    b_hi, b_lo = _rand_pairs(rng, nb)
+    av = np.sort((a_hi.astype(np.uint64) << np.uint64(32)) | a_lo)
+    bv = np.sort((b_hi.astype(np.uint64) << np.uint64(32)) | b_lo)
+    a_cnt = rng.integers(1, 100, size=na, dtype=np.int32)
+    b_cnt = rng.integers(1, 100, size=nb, dtype=np.int32)
+    shi, slo, scnt = sp.merge_sorted_pairs(
+        jnp.asarray((av >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(av.astype(np.uint32)),
+        jnp.asarray(a_cnt),
+        jnp.asarray((bv >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(bv.astype(np.uint32)),
+        jnp.asarray(b_cnt),
+    )
+    sv = np.asarray(shi).astype(np.uint64) << np.uint64(32) | np.asarray(slo)
+    ev = np.sort(np.concatenate([av, bv]))
+    np.testing.assert_array_equal(sv, ev)
+    # counts travel with their keys: total and per-key sums preserved
+    assert int(np.asarray(scnt).sum()) == int(a_cnt.sum()) + int(b_cnt.sum())
+    # per-key check via grouped sums
+    allv = np.concatenate([av, bv])
+    allc = np.concatenate([a_cnt, b_cnt])
+    order = np.argsort(allv, kind="stable")
+    np.testing.assert_array_equal(allv[order], sv)
+    # counts may be permuted within equal keys; compare grouped sums
+    uniq, inv = np.unique(allv, return_inverse=True)
+    esum = np.zeros(len(uniq), np.int64)
+    np.add.at(esum, inv, allc)
+    gsum = np.zeros(len(uniq), np.int64)
+    np.add.at(gsum, np.searchsorted(uniq, sv), np.asarray(scnt))
+    np.testing.assert_array_equal(gsum, esum)
+
+
+def test_merge_unequal_split_power_of_two_total():
+    rng = np.random.default_rng(7)
+    na, nb = (3 << 12), (1 << 12)  # 12288 + 4096 = 16384
+    av = np.sort(rng.integers(0, 1 << 63, size=na, dtype=np.uint64))
+    bv = np.sort(rng.integers(0, 1 << 63, size=nb, dtype=np.uint64))
+    shi, slo, scnt = sp.merge_sorted_pairs(
+        jnp.asarray((av >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(av.astype(np.uint32)),
+        jnp.ones(na, jnp.int32),
+        jnp.asarray((bv >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(bv.astype(np.uint32)),
+        jnp.ones(nb, jnp.int32),
+    )
+    sv = np.asarray(shi).astype(np.uint64) << np.uint64(32) | np.asarray(slo)
+    np.testing.assert_array_equal(sv, np.sort(np.concatenate([av, bv])))
+    assert int(np.asarray(scnt).sum()) == na + nb
+
+
+def test_small_sizes_fall_back_to_lax_sort():
+    rng = np.random.default_rng(3)
+    hi, lo = _rand_pairs(rng, 1000)  # non-power-of-two, small
+    shi, slo = sp.sort_pairs(jnp.asarray(hi), jnp.asarray(lo))
+    ehi, elo = _np_sorted(hi, lo)
+    np.testing.assert_array_equal(np.asarray(shi), ehi)
+    np.testing.assert_array_equal(np.asarray(slo), elo)
+
+
+@pytest.mark.parametrize("total", [1 << 14, 1 << 19, 1 << 20])
+def test_merge_large_sizes(total):
+    """The tiled merge path (XLA CE prefix + Pallas tail) at/above the
+    single-block size."""
+    m = total // 2
+    rng = np.random.default_rng(11)
+    av = np.sort(rng.integers(0, 1 << 62, size=m, dtype=np.uint64))
+    bv = np.sort(rng.integers(0, 1 << 62, size=m, dtype=np.uint64))
+    shi, slo, scnt = sp.merge_sorted_pairs(
+        jnp.asarray((av >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(av.astype(np.uint32)),
+        jnp.ones(m, jnp.int32),
+        jnp.asarray((bv >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(bv.astype(np.uint32)),
+        jnp.ones(m, jnp.int32),
+    )
+    sv = np.asarray(shi).astype(np.uint64) << np.uint64(32) | np.asarray(slo)
+    np.testing.assert_array_equal(sv, np.sort(np.concatenate([av, bv])))
+    assert int(np.asarray(scnt).sum()) == total
