@@ -258,60 +258,69 @@ class CountAccumulator:
 class DeviceCountTable:
     """Device-resident count accumulation as an LSM-style merge forest.
 
-    Each batch becomes a sorted-unique weighted run on device
-    (count_packed); runs of equal capacity merge pairwise into a run of
-    double capacity (ops.count.merge_runs), binary-counter style.  Every
-    element therefore participates in O(log(total/batch)) device sorts
-    instead of one whole-table re-merge per batch, there are NO blocking
-    host syncs mid-stream (valid counts stay as device scalars), and the
-    host sees data only at flush -- one transfer per ~2^30 windows, with
-    duplicates already collapsed on device.
+    Each batch becomes a raw ascending weight-1 k-mer stream on device
+    (ops.count.sort_canonical_packed); runs of equal capacity merge
+    pairwise into a run of double capacity via the Pallas bitonic-merge
+    network (ops.sort_pallas.merge_sorted_streams), binary-counter
+    style.  Duplicates ride along unmerged: run-length encoding happens
+    exactly once per flush (ops.count.rle_compact), because RLE's
+    scatters cost ~6x a batch's extract+sort on TPU while deduplication
+    never shrinks the fixed-capacity device arrays anyway.
 
-    Counts are int32 on device; the flush bound keeps any k-mer's count
-    < 2^31 before it reaches the host's int64 accumulator.
+    Every element participates in O(log(total/batch)) cheap merges, no
+    blocking host syncs happen mid-stream (valid counts stay as device
+    scalars), and the host sees data only at flush.  The flush bound
+    keeps per-key counts within int32 and the raw streams (8 bytes per
+    window) within a fraction of HBM.
     """
 
-    FLUSH_WINDOWS = 1 << 30
+    FLUSH_WINDOWS = 1 << 28
 
     def __init__(self, k: int):
         self.k = k
-        # capacity (power of two) -> run tuple (hi, lo, cnt, n_dev)
+        # capacity (power of two) -> run tuple (hi, lo, n_dev)
         self._runs: dict[int, tuple] = {}
         self._windows_since_flush = 0
         self._acc = CountAccumulator()
 
     def update(self, codes: np.ndarray):
-        from .ops.count import count_packed, merge_runs
-
         n = codes.shape[0]
         if n == 0:
             return
         size = _bucket(n)
         lanes, inv_words = pack_for_transfer(codes, size)
-        uhi, ulo, ucnt, n_u = count_packed(
-            jnp.asarray(lanes), jnp.asarray(inv_words), self.k
-        )
-        run = (uhi, ulo, ucnt, n_u)
-        cap = size  # count_packed output arrays have one slot per position
+        self.update_packed(jnp.asarray(lanes), jnp.asarray(inv_words), size, n)
+
+    def update_packed(self, lanes, inv_words, size: int, n_windows: int):
+        """Fold one wire-format batch in (size = 16 * len(lanes))."""
+        from .ops.count import sort_canonical_packed
+        from .ops.sort_pallas import merge_sorted_streams
+
+        shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, self.k)
+        run = (shi, slo, n_valid)
+        cap = size
         # binary-counter cascade: merge equal-capacity runs upward
         while cap in self._runs:
-            other = self._runs.pop(cap)
-            a_hi, a_lo, a_cnt, a_n = other
-            b_hi, b_lo, b_cnt, b_n = run
-            run = merge_runs(a_hi, a_lo, a_cnt, a_n, b_hi, b_lo, b_cnt, b_n)
+            a_hi, a_lo, a_n = self._runs.pop(cap)
+            b_hi, b_lo, b_n = run
+            mhi, mlo = merge_sorted_streams(a_hi, a_lo, b_hi, b_lo)
+            run = (mhi, mlo, a_n + b_n)
             cap *= 2
         self._runs[cap] = run
-        self._windows_since_flush += n
+        self._windows_since_flush += n_windows
         if self._windows_since_flush >= self.FLUSH_WINDOWS:
             self.flush()
 
     def flush(self):
+        from .ops.count import rle_compact
+
         for cap in sorted(self._runs):
-            hi, lo, cnt, n_dev = self._runs[cap]
-            n = int(n_dev)
+            hi, lo, n_dev = self._runs[cap]
+            uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
+            n = int(n_u)
             if n:
-                vals = join_u64(np.asarray(hi[:n]), np.asarray(lo[:n]))
-                cnts = np.asarray(cnt[:n]).astype(np.int64)
+                vals = join_u64(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
+                cnts = np.asarray(ucnt[:n]).astype(np.int64)
                 self._acc.add(vals, cnts)
         self._runs = {}
         self._windows_since_flush = 0

@@ -33,13 +33,32 @@ def scaled_threshold(scaled: int) -> tuple[int, int]:
     return (thr >> 32) & 0xFFFFFFFF, thr & 0xFFFFFFFF
 
 
+def _sparse_cap(n: int, scaled: int) -> int:
+    """Output capacity for the sparse path: ~8x the expected survivor
+    count (Chernoff makes overflow astronomically unlikely for hash-
+    uniform data), floored and rounded to a power of two."""
+    expected = max(1, n // scaled)
+    cap = 1 << max(12, (8 * expected - 1).bit_length())
+    return cap
+
+
 @partial(jax.jit, static_argnames=("k", "scaled"))
 def sketch_batch(codes, invalid, k: int, scaled: int):
     """Extract canonical k-mers, hash, keep h < 2^64/scaled, dedupe+count.
 
     Returns (uhash_hi, uhash_lo, counts, n_unique): sorted unique KEPT
     hash values with their abundances.
+
+    For scaled >> 1 only ~n/scaled hashes survive the threshold, so
+    sorting the full stream wastes ~scaled x the work: the sparse path
+    compacts survivors first (scatter-free monotone-shift compaction),
+    then sorts just the small survivor buffer.  If survivors ever exceed
+    the 8x-headroom capacity (impossible for hash-uniform input, ~2^-40
+    tail), the surplus is dropped and n_unique reports the truncated
+    count -- callers comparing n_kept can detect it.
     """
+    from .count import SENTINEL, _compact_left, _rle_sorted
+
     hi, lo, valid = extract_canonical(codes, invalid, k)
     hhi, hlo = splitmix64_pair(hi, lo)
     if scaled == 1:
@@ -49,7 +68,21 @@ def sketch_batch(codes, invalid, k: int, scaled: int):
         thr_hi = np.uint32(thr_hi)
         thr_lo = np.uint32(thr_lo)
         keep = valid & ((hhi < thr_hi) | ((hhi == thr_hi) & (hlo < thr_lo)))
-    return count_kmers(hhi, hlo, keep)
+    n = hhi.shape[0]
+    cap = _sparse_cap(n, scaled)
+    if cap >= n:
+        return count_kmers(hhi, hlo, keep)
+    n_kept = keep.astype(jnp.int32).sum()
+    mhi = jnp.where(keep, hhi, SENTINEL)
+    mlo = jnp.where(keep, hlo, SENTINEL)
+    chi, clo = _compact_left([mhi, mlo], keep)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # leftover tail slots may hold stale copies of kept values: sentinel
+    # them before the sort so they cannot contaminate the prefix
+    chi = jnp.where(idx < n_kept, chi, SENTINEL)[:cap]
+    clo = jnp.where(idx < n_kept, clo, SENTINEL)[:cap]
+    shi, slo = jax.lax.sort((chi, clo), num_keys=2)
+    return _rle_sorted(shi, slo, jnp.minimum(n_kept, cap))
 
 
 def sketch_compare(a: np.ndarray, b: np.ndarray) -> dict:

@@ -307,6 +307,25 @@ def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
 
 
 @jax.jit
+def merge_sorted_streams(a_hi, a_lo, b_hi, b_lo):
+    """Merge two ascending-sorted (hi, lo) streams (duplicates allowed).
+
+    2-plane variant of merge_sorted_pairs for raw weight-1 k-mer streams
+    (the count pipeline defers run-length encoding to the flush, because
+    RLE's scatters cost far more than carrying duplicates through the
+    bandwidth-bound merges).
+    """
+    n = a_hi.shape[0] + b_hi.shape[0]
+    if not (use_pallas_sort() and _pallas_ok(n, 1 << 62)):
+        return jax.lax.sort(
+            (jnp.concatenate([a_hi, b_hi]), jnp.concatenate([a_lo, b_lo])),
+            num_keys=2,
+        )
+    interpret = jax.default_backend() != "tpu"
+    return tuple(_merge_halves([a_hi, a_lo], [b_hi, b_lo], interpret=interpret))
+
+
+@jax.jit
 def merge_sorted_pairs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
     """Merge two ascending-sorted weighted runs (any length split).
 

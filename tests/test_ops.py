@@ -163,3 +163,28 @@ def test_hits_per_read():
     owner = jnp.asarray(np.array([0, 0, 0, 1, 2, 2], dtype=np.int32))
     hits = np.asarray(ops_count.hits_per_read(member, owner, 4))
     assert hits[:3].tolist() == [2, 1, 1]
+
+
+def test_count_packed_multi_matches_count_packed(monkeypatch):
+    """The chunked+merge-tree single-dispatch counter must agree exactly
+    with the plain per-batch counter (and hence with the numpy oracle)."""
+    from orion_kmer_tpu.engine import pack_for_transfer
+
+    monkeypatch.setattr(ops_count, "CHUNK_POSITIONS", 1 << 14)
+    rng = np.random.default_rng(5)
+    n = 1 << 16  # 4 chunks
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    codes[rng.random(n) < 0.01] = 255
+    lanes, inv = pack_for_transfer(codes, n)
+    k = 13
+    ehi, elo, ecnt, enu = ops_count.count_packed(
+        jnp.asarray(lanes), jnp.asarray(inv), k
+    )
+    mhi, mlo, mcnt, mnu = ops_count.count_packed_multi(
+        jnp.asarray(lanes), jnp.asarray(inv), k
+    )
+    enu, mnu = int(enu), int(mnu)
+    assert mnu == enu
+    np.testing.assert_array_equal(np.asarray(mhi[:mnu]), np.asarray(ehi[:enu]))
+    np.testing.assert_array_equal(np.asarray(mlo[:mnu]), np.asarray(elo[:enu]))
+    np.testing.assert_array_equal(np.asarray(mcnt[:mnu]), np.asarray(ecnt[:enu]))
