@@ -55,8 +55,14 @@ def pack_for_transfer(codes: np.ndarray, size: int):
     ``size`` (multiple of 32) -> (lanes u32[size/16], invalid u32[size/32]).
 
     Base j of lane w sits at bits 2j..2j+1 of lanes[w]; invalid flags are
-    1 bit per base, little-endian within each u32 word."""
+    1 bit per base, little-endian within each u32 word.  Uses the native
+    C packer when available (~5x the numpy path single-core; packing is
+    on the host's critical path alongside parsing)."""
     assert size % 32 == 0
+    from .ingest import native
+
+    if native.available():
+        return native.pack_wire(codes, size)
     codes_p = _pad(codes, size, codec.INVALID_CODE)
     invalid = codes_p > 3
     c = np.where(invalid, 0, codes_p).astype(np.uint32).reshape(-1, 16)

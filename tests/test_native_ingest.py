@@ -99,3 +99,28 @@ def test_native_large_random_roundtrip():
     assert ids_n == ids_p
     np.testing.assert_array_equal(codes_n, codes_p)
     np.testing.assert_array_equal(ends_n, ends_p)
+
+
+def test_pack_wire_matches_numpy_path():
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    import orion_kmer_tpu.engine as eng
+
+    rng = np.random.default_rng(9)
+    for n, size in [(0, 32), (1, 32), (31, 64), (4096, 4096), (1000, 2048)]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        if n:
+            codes[rng.random(n) < 0.1] = 255
+        got_lanes, got_inv = native.pack_wire(codes, size)
+        # reference numpy path
+        codes_p = eng._pad(codes, size, 255)
+        invalid = codes_p > 3
+        c = np.where(invalid, 0, codes_p).astype(np.uint32).reshape(-1, 16)
+        lanes = np.zeros(size // 16, dtype=np.uint32)
+        for j in range(16):
+            lanes |= c[:, j] << np.uint32(2 * j)
+        inv_words = np.packbits(invalid, bitorder="little").view(np.uint32)
+        np.testing.assert_array_equal(got_lanes, lanes)
+        np.testing.assert_array_equal(got_inv, inv_words)
