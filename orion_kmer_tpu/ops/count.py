@@ -148,7 +148,12 @@ def count_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
     return count_kmers(hi.reshape(-1), lo.reshape(-1), valid.reshape(-1))
 
 
-CHUNK_POSITIONS = 1 << 20  # per-chunk sort size inside sort_canonical_packed
+# Per-chunk sort size inside sort_canonical_packed.  lax.sort's
+# per-element cost grows mildly with n (measured ms/1M on v5e: 2.42 at
+# 2^20, 2.90 at 2^22, 3.74 at 2^23), while every merge-tree level adds
+# ~0.35 ms/1M, so whole-batch sorts win up to ~2^22 and chunking pays
+# only beyond that.
+CHUNK_POSITIONS = 1 << 22
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -214,7 +219,11 @@ def _compact_left(planes, keep: jnp.ndarray, radix_bits: int = 1):
     Every pass is elementwise + static shifts: no scatters, no gathers.
     Tail slots past the kept count hold leftovers the caller must mask.
     """
+    from .sort_pallas import compact_left_pallas, use_compact_pallas
+
     n = keep.shape[0]
+    if use_compact_pallas(n):
+        return compact_left_pallas(planes, keep)
     drop = (~keep).astype(jnp.int32)
     s = jnp.cumsum(drop) - drop  # dropped strictly before i
     b = 0

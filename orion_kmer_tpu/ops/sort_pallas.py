@@ -279,6 +279,118 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
     return [o.reshape(-1) for o in outs]
 
 
+COMPACT_BLOCK_ROWS = 256  # 2^15 elements per grid block
+
+
+def _compact_pass_kernel(n_planes: int, m: int, n: int):
+    """One monotone-shift compaction pass at offset m (see
+    ops.count._compact_left): every slot receives its partner at +m
+    elements iff bit log2(m) of the partner's remaining shift is set.
+
+    Refs: (P+1) self blocks, (P+1) partner-view blocks (the same arrays
+    block-offset via their index maps; clamped blocks are safe because
+    any position whose partner lies past the array is masked by
+    pos + m < n), then (P+1) outputs.  Fusing the shifted read + select
+    of all planes into one kernel removes the per-pass shifted-copy
+    materializations of the XLA path.
+    """
+    Rb = COMPACT_BLOCK_ROWS
+    dr = m // _LANES
+    lane_m = m % _LANES
+    P1 = n_planes + 1
+
+    def kernel(*refs):
+        selfs = [r[:] for r in refs[:P1]]
+        nxts = [r[:] for r in refs[P1 : 2 * P1]]
+        outs = refs[2 * P1 :]
+        if lane_m == 0 and dr % Rb == 0:
+            partners = nxts
+        elif lane_m == 0:
+            partners = [
+                jnp.concatenate([a[dr:], b[:dr]]) for a, b in zip(selfs, nxts)
+            ]
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+            partners = []
+            for a, b in zip(selfs, nxts):
+                ra = pltpu.roll(a, _LANES - lane_m, 1)
+                rb = pltpu.roll(b[:1], _LANES - lane_m, 1)
+                nxt_row = jnp.concatenate([ra[1:], rb])
+                partners.append(jnp.where(lane < _LANES - lane_m, ra, nxt_row))
+
+        s_part = partners[-1].astype(jnp.int32)
+        i = pl.program_id(0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (Rb, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (Rb, _LANES), 1)
+        pos = (i * Rb + r_iota) * _LANES + l_iota
+        recv = ((s_part & m) != 0) & (pos + m < n)
+        for j in range(n_planes):
+            outs[j][:] = jnp.where(recv, partners[j], selfs[j])
+        outs[n_planes][:] = jnp.where(recv, s_part - m, selfs[-1].astype(jnp.int32))
+
+    return kernel
+
+
+def compact_pass_pallas(planes, s, m: int, interpret: bool):
+    """Run one compaction pass on (rows,128)-shaped planes + shift plane."""
+    rows = planes[0].shape[0]
+    n = rows * _LANES
+    n_planes = len(planes)
+    Rb = COMPACT_BLOCK_ROWS
+    nb = rows // Rb
+    dr = m // _LANES
+    doff = min(max(dr // Rb, 1), nb - 1) if m >= _LANES * Rb else 1
+
+    def self_map(i):
+        return (i, 0)
+
+    def partner_map(i):
+        return (jnp.minimum(i + doff, nb - 1), 0)
+
+    blk_self = pl.BlockSpec((Rb, _LANES), self_map, memory_space=pltpu.VMEM)
+    blk_part = pl.BlockSpec((Rb, _LANES), partner_map, memory_space=pltpu.VMEM)
+    args = list(planes) + [s]
+    outs = pl.pallas_call(
+        _compact_pass_kernel(n_planes, m, n),
+        grid=(nb,),
+        in_specs=[blk_self] * (n_planes + 1) + [blk_part] * (n_planes + 1),
+        out_specs=[blk_self] * (n_planes + 1),
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * n_planes
+        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)],
+        interpret=interpret,
+    )(*args, *args)
+    return list(outs[:n_planes]), outs[n_planes]
+
+
+def compact_left_pallas(planes, keep):
+    """Pallas-fused monotone-shift compaction (ops.count._compact_left
+    semantics): kept elements move to the front stably; tail slots hold
+    leftovers the caller must mask."""
+    n = keep.shape[0]
+    rows = n // _LANES
+    drop = (~keep).astype(jnp.int32)
+    s = jnp.cumsum(drop) - drop
+    planes2 = [p.reshape(rows, _LANES) for p in planes]
+    s2 = s.reshape(rows, _LANES)
+    interpret = jax.default_backend() != "tpu"
+    b = 0
+    while (1 << b) < n:
+        planes2, s2 = compact_pass_pallas(planes2, s2, 1 << b, interpret)
+        b += 1
+    return [p.reshape(-1) for p in planes2]
+
+
+def use_compact_pallas(n: int) -> bool:
+    if not use_pallas_sort():
+        return False
+    block = COMPACT_BLOCK_ROWS * _LANES
+    return (
+        jax.default_backend() == "tpu"
+        and n % block == 0
+        and n >= 2 * block
+    )
+
+
 def _pallas_ok(n: int, cap: int) -> bool:
     return n >= (1 << 14) and (n & (n - 1)) == 0 and n <= cap
 

@@ -119,3 +119,25 @@ def test_merge_large_sizes(total):
     sv = np.asarray(shi).astype(np.uint64) << np.uint64(32) | np.asarray(slo)
     np.testing.assert_array_equal(sv, np.sort(np.concatenate([av, bv])))
     assert int(np.asarray(scnt).sum()) == total
+
+
+def test_compact_left_pallas_matches_xla(monkeypatch):
+    """The fused per-pass compaction kernel (interpret mode off-TPU) must
+    match the XLA bit-pass compactor exactly."""
+    import jax
+
+    from orion_kmer_tpu.ops.count import _compact_left
+
+    rng = np.random.default_rng(13)
+    n = 1 << 17  # 4 blocks of 2^15
+    planes = [
+        jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32))
+        for _ in range(3)
+    ]
+    for density in (0.03, 0.5, 0.97):
+        keep = jnp.asarray(rng.random(n) < density)
+        ref = _compact_left(planes, keep)
+        got = sp.compact_left_pallas(planes, keep)
+        nk = int(np.asarray(keep).sum())
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r)[:nk], np.asarray(g)[:nk])
