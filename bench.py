@@ -138,12 +138,15 @@ def main() -> None:
     sketch_dt = (time.perf_counter() - t0) / iters
     sketch_gbps = BATCH / sketch_dt / 1e9
 
-    # CPU proxy (single-core numpy, identical semantics)
+    # CPU proxy (single-core numpy, identical semantics; best of 3 --
+    # the shared host's load makes single runs noisy)
     proxy_codes = first_codes[:CPU_PROXY_N]
-    t0 = time.perf_counter()
-    vals = codec.extract_kmers_np(proxy_codes, K)
-    np.unique(vals, return_counts=True)
-    cpu_dt = time.perf_counter() - t0
+    cpu_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        vals = codec.extract_kmers_np(proxy_codes, K)
+        np.unique(vals, return_counts=True)
+        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_kmers_per_s = (CPU_PROXY_N - K + 1) / cpu_dt
 
     result = {

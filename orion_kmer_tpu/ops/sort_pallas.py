@@ -331,6 +331,94 @@ def _compact_pass_kernel(n_planes: int, m: int, n: int):
     return kernel
 
 
+def _ce_shift(window_planes, m: int, base_pos, n: int):
+    """One compaction pass on a row-window: every slot takes its partner
+    at +m elements iff bit log2(m) of the partner's shift plane (last
+    plane) is set and the partner is in range.  base_pos = global element
+    index of the window's first cell.  Rows near the window top read
+    wrapped garbage; callers account for the shrinking valid region."""
+    rows = window_planes[0].shape[0]
+    if m >= _LANES:
+        dr = m // _LANES
+        partners = [
+            jnp.concatenate([w[dr:], w[:dr]]) for w in window_planes
+        ]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        partners = []
+        for w in window_planes:
+            ra = pltpu.roll(w, _LANES - m, 1)
+            nxt = jnp.concatenate([ra[1:], ra[:1]])
+            partners.append(jnp.where(lane < _LANES - m, ra, nxt))
+    s_part = partners[-1].astype(jnp.int32)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    pos = base_pos + r_iota * _LANES + l_iota
+    recv = ((s_part & m) != 0) & (pos + m < n)
+    out = [jnp.where(recv, p, w) for p, w in zip(partners[:-1], window_planes[:-1])]
+    out.append(jnp.where(recv, s_part - m, window_planes[-1].astype(jnp.int32)))
+    return out
+
+
+def _compact_window_kernel(n_planes: int, b0: int, b1: int, n: int):
+    """Fused low-bit passes b0..b1 (total shift < one block): reads the
+    2-block window once, runs all passes in VMEM, writes block i.  Cuts
+    the per-pass HBM round trips of the low bits to a single one."""
+    Rb = COMPACT_BLOCK_ROWS
+    P1 = n_planes + 1
+
+    def kernel(*refs):
+        selfs = [r[:] for r in refs[:P1]]
+        nxts = [r[:] for r in refs[P1 : 2 * P1]]
+        outs = refs[2 * P1 :]
+        window = [jnp.concatenate([a, b]) for a, b in zip(selfs, nxts)]
+        i = pl.program_id(0)
+        base = i * Rb * _LANES
+        for b in range(b0, b1 + 1):
+            window = _ce_shift(window, 1 << b, base, n)
+        for j in range(P1):
+            outs[j][:] = window[j][:Rb].astype(outs[j].dtype)
+
+    return kernel
+
+
+def _compact_pair_kernel(n_planes: int, b: int, p_blocks: int, n: int):
+    """Fused high-bit pass pair (b, b+1): partner distances p and 2p
+    blocks; reads views at {0, p, 2p, 3p} blocks, recomputes pass b for
+    the 0- and 2p-views, then applies pass b+1 -- 5 block r/w units per
+    2 passes instead of 6."""
+    Rb = COMPACT_BLOCK_ROWS
+    P1 = n_planes + 1
+    m1 = 1 << b
+    m2 = m1 * 2
+
+    def ce_blocks(a, c, m, base_pos):
+        s_part = c[-1].astype(jnp.int32)
+        rows = a[0].shape[0]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        pos = base_pos + r_iota * _LANES + l_iota
+        recv = ((s_part & m) != 0) & (pos + m < n)
+        out = [jnp.where(recv, q, w) for q, w in zip(c[:-1], a[:-1])]
+        out.append(jnp.where(recv, s_part - m, a[-1].astype(jnp.int32)))
+        return out
+
+    def kernel(*refs):
+        views = [
+            [r[:] for r in refs[v * P1 : (v + 1) * P1]] for v in range(4)
+        ]
+        outs = refs[4 * P1 :]
+        i = pl.program_id(0)
+        blk = Rb * _LANES
+        x0 = ce_blocks(views[0], views[1], m1, i * blk)
+        x2 = ce_blocks(views[2], views[3], m1, (i + 2 * p_blocks) * blk)
+        y = ce_blocks(x0, x2, m2, i * blk)
+        for j in range(P1):
+            outs[j][:] = y[j].astype(outs[j].dtype)
+
+    return kernel
+
+
 def compact_pass_pallas(planes, s, m: int, interpret: bool):
     """Run one compaction pass on (rows,128)-shaped planes + shift plane."""
     rows = planes[0].shape[0]
@@ -362,10 +450,72 @@ def compact_pass_pallas(planes, s, m: int, interpret: bool):
     return list(outs[:n_planes]), outs[n_planes]
 
 
+def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool):
+    rows = planes[0].shape[0]
+    n = rows * _LANES
+    P1 = len(planes) + 1
+    Rb = COMPACT_BLOCK_ROWS
+    nb = rows // Rb
+    blk_self = pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk_next = pl.BlockSpec(
+        (Rb, _LANES), lambda i: (jnp.minimum(i + 1, nb - 1), 0), memory_space=pltpu.VMEM
+    )
+    args = list(planes) + [s]
+    outs = pl.pallas_call(
+        _compact_window_kernel(len(planes), b0, b1, n),
+        grid=(nb,),
+        in_specs=[blk_self] * P1 + [blk_next] * P1,
+        out_specs=[blk_self] * P1,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * len(planes)
+        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)],
+        interpret=interpret,
+    )(*args, *args)
+    return list(outs[: len(planes)]), outs[len(planes)]
+
+
+def _compact_pair_call(planes, s, b: int, interpret: bool):
+    rows = planes[0].shape[0]
+    n = rows * _LANES
+    P1 = len(planes) + 1
+    Rb = COMPACT_BLOCK_ROWS
+    nb = rows // Rb
+    p_blocks = (1 << b) // (Rb * _LANES)
+
+    def view_map(k):
+        return lambda i: (jnp.minimum(i + k * p_blocks, nb - 1), 0)
+
+    specs = []
+    for k in range(4):
+        specs += [
+            pl.BlockSpec((Rb, _LANES), view_map(k), memory_space=pltpu.VMEM)
+        ] * P1
+    args = list(planes) + [s]
+    outs = pl.pallas_call(
+        _compact_pair_kernel(len(planes), b, p_blocks, n),
+        grid=(nb,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * P1,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * len(planes)
+        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)],
+        interpret=interpret,
+    )(*args, *args, *args, *args)
+    return list(outs[: len(planes)]), outs[len(planes)]
+
+
 def compact_left_pallas(planes, keep):
     """Pallas-fused monotone-shift compaction (ops.count._compact_left
     semantics): kept elements move to the front stably; tail slots hold
-    leftovers the caller must mask."""
+    leftovers the caller must mask.
+
+    Pass schedule: bits 0..14 (shift span < one 2^15 block) run as three
+    window kernels of five fused passes each -- one HBM round trip per
+    kernel instead of per pass; higher bits run pair-fused (two passes
+    per kernel via four block views), with a single-pass kernel for an
+    odd last bit.  ~2x less HBM traffic than one kernel per pass.
+    """
     n = keep.shape[0]
     rows = n // _LANES
     drop = (~keep).astype(jnp.int32)
@@ -373,10 +523,20 @@ def compact_left_pallas(planes, keep):
     planes2 = [p.reshape(rows, _LANES) for p in planes]
     s2 = s.reshape(rows, _LANES)
     interpret = jax.default_backend() != "tpu"
+    logn = _log2(n)
+    log_blk = _log2(COMPACT_BLOCK_ROWS * _LANES)
     b = 0
-    while (1 << b) < n:
-        planes2, s2 = compact_pass_pallas(planes2, s2, 1 << b, interpret)
-        b += 1
+    while b < min(log_blk, logn):
+        b1 = min(b + 4, min(log_blk, logn) - 1)
+        planes2, s2 = _compact_window_call(planes2, s2, b, b1, interpret)
+        b = b1 + 1
+    while b < logn:
+        if b + 1 < logn:
+            planes2, s2 = _compact_pair_call(planes2, s2, b, interpret)
+            b += 2
+        else:
+            planes2, s2 = compact_pass_pallas(planes2, s2, 1 << b, interpret)
+            b += 1
     return [p.reshape(-1) for p in planes2]
 
 
