@@ -297,21 +297,44 @@ class DeviceCountTable:
         lanes, inv_words = pack_for_transfer(codes, size)
         self.update_packed(jnp.asarray(lanes), jnp.asarray(inv_words), size, n)
 
+    _CHAIN_CACHE: dict = {}
+
+    @classmethod
+    def _chain_fn(cls, k: int, depth: int):
+        """Jitted batch step: sort the new batch AND run its whole
+        binary-counter merge cascade (depth merges) in ONE dispatch.
+        The cascade structure is deterministic given the batch count, so
+        the chain is known before any device work; folding it saves one
+        host dispatch round-trip per merge (~1.6 ms each on tunneled
+        hosts)."""
+        key = (k, depth)
+        fn = cls._CHAIN_CACHE.get(key)
+        if fn is None:
+            from .ops.count import sort_canonical_packed
+            from .ops.sort_pallas import merge_sorted_streams
+
+            def chain(lanes, inv_words, *run_arrays):
+                shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, k)
+                run = (shi, slo, n_valid)
+                for i in range(depth):
+                    a_hi, a_lo, a_n = run_arrays[3 * i : 3 * i + 3]
+                    mhi, mlo = merge_sorted_streams(a_hi, a_lo, run[0], run[1])
+                    run = (mhi, mlo, a_n + run[2])
+                return run
+
+            fn = jax.jit(chain)
+            cls._CHAIN_CACHE[key] = fn
+        return fn
+
     def update_packed(self, lanes, inv_words, size: int, n_windows: int):
         """Fold one wire-format batch in (size = 16 * len(lanes))."""
-        from .ops.count import sort_canonical_packed
-        from .ops.sort_pallas import merge_sorted_streams
-
-        shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, self.k)
-        run = (shi, slo, n_valid)
         cap = size
-        # binary-counter cascade: merge equal-capacity runs upward
+        chain_runs: list = []
         while cap in self._runs:
-            a_hi, a_lo, a_n = self._runs.pop(cap)
-            b_hi, b_lo, b_n = run
-            mhi, mlo = merge_sorted_streams(a_hi, a_lo, b_hi, b_lo)
-            run = (mhi, mlo, a_n + b_n)
+            chain_runs.extend(self._runs.pop(cap))
             cap *= 2
+        fn = self._chain_fn(self.k, len(chain_runs) // 3)
+        run = fn(lanes, inv_words, *chain_runs)
         self._runs[cap] = run
         self._windows_since_flush += n_windows
         if self._windows_since_flush >= self.FLUSH_WINDOWS:

@@ -206,6 +206,113 @@ def _ce_xla_asc(planes2d, s: int):
     return out
 
 
+def _ce_fused_kernel(n_planes: int, n_strides: int, bit_offs, positions):
+    """Fused ascending compare-exchange for up to 3 merge strides.
+
+    2^m views of each plane arrive (BlockSpec-pipelined) at XOR block
+    offsets {0, a1} x {0, a2} x {0, a3}; the kernel runs the CE cascade
+    highest stride first across the views in VMEM, then DMA-writes every
+    block back to ANY-space outputs -- one read + one write per element
+    per m strides instead of per stride.  Grid steps write disjoint
+    block sets, so the dynamic-offset DMAs never overlap.
+    """
+    V = 1 << n_strides
+    Rb = COMPACT_BLOCK_ROWS  # merge block rows == 2^15 elements
+
+    def kernel(*refs):
+        views = [
+            [refs[v * n_planes + p][:] for p in range(n_planes)] for v in range(V)
+        ]
+        outs = refs[V * n_planes : V * n_planes + n_planes]
+        scratch = refs[V * n_planes + n_planes : -1]
+        sems = refs[-1]
+        # strides ordered highest first = combo bit (m-1) first
+        for bit in range(n_strides - 1, -1, -1):
+            step = 1 << bit
+            for v in range(V):
+                if v & step:
+                    continue
+                a, b = views[v], views[v + step]
+                gt = _lex_gt(a[0], a[1], b[0], b[1])
+                views[v] = [jnp.where(gt, q, p) for p, q in zip(a, b)]
+                views[v + step] = [jnp.where(gt, p, q) for p, q in zip(a, b)]
+        g = pl.program_id(0)
+        base = g
+        for p in positions:
+            low = base & ((1 << p) - 1)
+            base = ((base >> p) << (p + 1)) | low
+        copies = []
+        for v in range(V):
+            off = 0
+            for j in range(n_strides):
+                if v & (1 << j):
+                    off += bit_offs[j]
+            row0 = (base + off) * Rb
+            for p in range(n_planes):
+                sc = scratch[v * n_planes + p]
+                sc[:] = views[v][p]
+                dma = pltpu.make_async_copy(
+                    sc, outs[p].at[pl.ds(row0, Rb)], sems.at[v * n_planes + p]
+                )
+                dma.start()
+                copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+    return kernel
+
+
+def _ce_fused_call(planes2d, strides, interpret: bool):
+    """Run up to 3 ascending CE stages in one Pallas kernel.
+
+    strides: descending powers of two (elements), each a multiple of
+    MERGE_BLOCK and each dividing the array size.
+    """
+    rows = planes2d[0].shape[0]
+    n_planes = len(planes2d)
+    Rb = COMPACT_BLOCK_ROWS
+    nblocks = rows // Rb
+    m = len(strides)
+    offs = [s // (Rb * _LANES) for s in strides]  # block offsets, descending
+    bit_offs = [offs[m - 1 - j] for j in range(m)]  # combo bit j -> offset
+    positions = sorted(int(o).bit_length() - 1 for o in bit_offs)
+
+    def base_of(g):
+        x = g
+        for p in positions:
+            low = x & ((1 << p) - 1)
+            x = ((x >> p) << (p + 1)) | low
+        return x
+
+    def view_map(combo):
+        off = 0
+        for j in range(m):
+            if combo & (1 << j):
+                off += bit_offs[j]
+        return lambda g: (base_of(g) + off, 0)
+
+    specs = []
+    for combo in range(1 << m):
+        specs += [
+            pl.BlockSpec((Rb, _LANES), view_map(combo), memory_space=pltpu.VMEM)
+        ] * n_planes
+    args = []
+    for _combo in range(1 << m):
+        args += list(planes2d)
+    V = 1 << m
+    outs = pl.pallas_call(
+        _ce_fused_kernel(n_planes, m, bit_offs, positions),
+        grid=(nblocks >> m,),
+        in_specs=specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * n_planes,
+        scratch_shapes=[pltpu.VMEM((Rb, _LANES), U32)] * (V * n_planes)
+        + [pltpu.SemaphoreType.DMA((V * n_planes,))],
+        interpret=interpret,
+    )(*args)
+    return list(outs)
+
+
 def _merge_tail_kernel(n_planes: int, logB: int):
     """Gridded Pallas kernel: ascending bitonic merge of each block.
 
@@ -263,9 +370,18 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
         ]
         s = n // 4
     B = min(n, MERGE_BLOCK)
+    strides = []
     while s >= B:
-        planes2d = _ce_xla_asc(planes2d, s)
+        strides.append(s)
         s //= 2
+    i = 0
+    while i < len(strides):
+        grp = strides[i : i + 3]
+        if len(grp) >= 2:
+            planes2d = _ce_fused_call(planes2d, grp, interpret)
+        else:
+            planes2d = _ce_xla_asc(planes2d, grp[0])
+        i += len(grp)
     Rb = B // _LANES
     spec = pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
