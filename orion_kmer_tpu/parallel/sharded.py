@@ -118,20 +118,38 @@ def make_sharded_count_step_a2a(mesh: Mesh, k: int, capacity_factor: float = 2.0
         counts = ends - starts
         overflow = (counts > cap).any().astype(jnp.int32)
 
-        # scatter each entry to slot owner*cap + rank_within_owner
+        # route each entry to slot owner*cap + rank_within_owner,
+        # scatter-free: entry dest slots are strictly increasing (owner
+        # asc, rank asc), and the unfilled slots are a sorted set, so the
+        # send buffer is a bitonic MERGE of (dest_slot, hi, lo) with
+        # (unfilled_slot, SENTINEL, SENTINEL) -- the slot keys form a
+        # permutation of 0..M-1, making merged[t] the slot-t payload.
+        from ..ops.count import _compact_left
+        from ..ops.sort_pallas import merge_sorted_pairs
+
+        M = n_shards * cap
         idx = jnp.arange(b, dtype=jnp.int32)
         rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+        routed = (sowner < n_shards) & (rank < cap)
+        big = jnp.uint32(0x7FFFFFFF)
         dest_slot = jnp.where(
-            (sowner < n_shards) & (rank < cap),
-            sowner.astype(jnp.int32) * cap + rank,
-            n_shards * cap,  # dropped (invalid or overflow)
+            routed, sowner * U32(cap) + rank.astype(U32), big
         )
-        send_hi = jnp.full((n_shards * cap,), SENTINEL, U32).at[dest_slot].set(
-            shi, mode="drop"
+        slot_t = jnp.arange(M, dtype=jnp.int32)
+        unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
+        (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
+        n_unfilled = unfilled.astype(jnp.int32).sum()
+        ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
+        mkey, mhi, mlo = merge_sorted_pairs(
+            dest_slot,
+            shi,
+            slo.astype(jnp.int32),
+            ukeys,
+            jnp.full((M,), SENTINEL, U32),
+            jnp.full((M,), SENTINEL, U32).astype(jnp.int32),
         )
-        send_lo = jnp.full((n_shards * cap,), SENTINEL, U32).at[dest_slot].set(
-            slo, mode="drop"
-        )
+        send_hi = mhi[:M]
+        send_lo = mlo[:M].astype(U32)
 
         recv_hi = jax.lax.all_to_all(
             send_hi.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
