@@ -1,0 +1,244 @@
+"""Streaming multi-chip count accumulation: the sharded DeviceCountTable.
+
+The single-chip pipeline (engine.DeviceCountTable) generalizes to an
+n-chip mesh with the same three scatter-free stages, each distributed:
+
+  1. per batch, chips extract canonical k-mers from their halo-split
+     position blocks (data parallelism), route them to their hash-range
+     owner with all_to_all (the table axis), and locally sort the
+     received stream -- one shard_map dispatch per batch, including the
+     batch's whole merge cascade;
+  2. per-shard LSM merge forests accumulate the sorted streams with the
+     bitonic-merge network (each chip merges only its own hash range --
+     no collectives after routing);
+  3. at flush, each shard run-length compacts its range and the host
+     merges the small per-shard unique tables.
+
+Exactness: block halos produce every window exactly once, hash
+ownership counts every distinct k-mer on exactly one chip, and the
+all_to_all capacity is overflow-checked (psum) with exact retry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..ops.kmers import SENTINEL, extract_canonical, join_u64
+from .sharded import _owner_of, _shard_blocks
+
+U32 = jnp.uint32
+
+
+def _route_and_sort(codes_blk, invalid_blk, k: int, n_shards: int, cap: int):
+    """Per-device: extract, a2a-route by hash owner, sort received.
+
+    Returns (shi, slo, n_valid, overflow): a raw ascending weight-1
+    stream of this shard's owned k-mers (SENTINEL-padded) plus the
+    psum'd overflow flag.
+    """
+    from ..ops.count import _compact_left
+    from ..ops.sort_pallas import merge_sorted_pairs
+
+    codes_blk = codes_blk.reshape(-1)
+    invalid_blk = invalid_blk.reshape(-1)
+    hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
+    b = hi.shape[0]
+    hi = jnp.where(valid, hi, SENTINEL)
+    lo = jnp.where(valid, lo, SENTINEL)
+    owner = jnp.where(valid, _owner_of(hi, lo, n_shards), jnp.uint32(n_shards))
+    sowner, shi, slo = jax.lax.sort((owner, hi, lo), num_keys=1)
+    dests = jnp.arange(n_shards, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow = (counts > cap).any().astype(jnp.int32)
+
+    # scatter-free expansion into per-destination slots (see
+    # sharded.make_sharded_count_step_a2a for the derivation)
+    M = n_shards * cap
+    idx = jnp.arange(b, dtype=jnp.int32)
+    rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+    routed = (sowner < n_shards) & (rank < cap)
+    big = jnp.uint32(0x7FFFFFFF)
+    dest_slot = jnp.where(routed, sowner * U32(cap) + rank.astype(U32), big)
+    slot_t = jnp.arange(M, dtype=jnp.int32)
+    unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
+    (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
+    n_unfilled = unfilled.astype(jnp.int32).sum()
+    ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
+    _, mhi, mlo = merge_sorted_pairs(
+        dest_slot,
+        shi,
+        slo.astype(jnp.int32),
+        ukeys,
+        jnp.full((M,), SENTINEL, U32),
+        jnp.full((M,), SENTINEL, U32).astype(jnp.int32),
+    )
+    send_hi = mhi[:M]
+    send_lo = mlo[:M].astype(U32)
+
+    recv_hi = jax.lax.all_to_all(
+        send_hi.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+    ).reshape(-1)
+    recv_lo = jax.lax.all_to_all(
+        send_lo.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+    ).reshape(-1)
+    mine = ~((recv_hi == SENTINEL) & (recv_lo == SENTINEL))
+    rhi = jnp.where(mine, recv_hi, SENTINEL)
+    rlo = jnp.where(mine, recv_lo, SENTINEL)
+    shi2, slo2 = jax.lax.sort((rhi, rlo), num_keys=2)
+    n_valid = mine.astype(jnp.int32).sum()
+    any_overflow = jax.lax.psum(overflow, "shard")
+    return shi2, slo2, n_valid, any_overflow
+
+
+class ShardedCountTable:
+    """Multi-chip streaming count accumulation over a (shard,) mesh.
+
+    The distributed analog of engine.DeviceCountTable: call update() per
+    host batch, result() once.  Per-shard state is a dict of
+    capacity -> (hi [S, cap], lo [S, cap], n [S]) sharded runs.
+    """
+
+    def __init__(self, k: int, mesh: Mesh | None = None, capacity_factor: float = 2.0):
+        from .mesh import make_mesh
+
+        self.k = k
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.devices.size
+        self.capacity_factor = capacity_factor
+        self._runs: dict[int, tuple] = {}
+        self._vals: list[np.ndarray] = []
+        self._cnts: list[np.ndarray] = []
+        self._chain_cache: dict = {}
+
+    def _chain_fn(self, cap: int, depth: int, factor: float):
+        key = (cap, depth, factor)
+        fn = self._chain_cache.get(key)
+        if fn is not None:
+            return fn
+        k, S = self.k, self.n_shards
+        from ..ops.sort_pallas import merge_sorted_streams
+
+        def per_device(codes_blk, invalid_blk, *run_rows):
+            shi, slo, n_valid, ovf = _route_and_sort(
+                codes_blk, invalid_blk, k, S, cap
+            )
+            run = (shi, slo, n_valid)
+            for i in range(depth):
+                a_hi, a_lo, a_n = run_rows[3 * i : 3 * i + 3]
+                mhi, mlo = merge_sorted_streams(
+                    a_hi.reshape(-1), a_lo.reshape(-1), run[0], run[1]
+                )
+                run = (mhi, mlo, a_n.reshape(()) + run[2])
+            return (
+                run[0][None],
+                run[1][None],
+                run[2][None],
+                ovf[None],
+            )
+
+        in_specs = (P("shard"), P("shard")) + (
+            P("shard", None),
+            P("shard", None),
+            P("shard"),
+        ) * depth
+        fn = jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(
+                    P("shard", None),
+                    P("shard", None),
+                    P("shard"),
+                    P("shard"),
+                ),
+            )
+        )
+        self._chain_cache[key] = fn
+        return fn
+
+    def update(self, codes: np.ndarray, invalid: np.ndarray | None = None):
+        if codes.shape[0] == 0:
+            return
+        if invalid is None:
+            invalid = codes > 3
+        S = self.n_shards
+        blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, self.k, S)
+        sharding = NamedSharding(self.mesh, P("shard"))
+        d_codes = jax.device_put(blk_codes, sharding)
+        d_invalid = jax.device_put(blk_invalid, sharding)
+
+        factor = self.capacity_factor
+        for _attempt in range(4):
+            cap = int(np.ceil(factor * block / S))
+            M = S * cap  # per-shard stream capacity for this batch
+            chain_caps = []
+            c = M
+            while c in self._runs:
+                chain_caps.append(c)
+                c *= 2
+            run_args = []
+            for rc in chain_caps:
+                run_args.extend(self._runs[rc])
+            fn = self._chain_fn(cap, len(chain_caps), factor)
+            hi, lo, n, ovf = fn(d_codes, d_invalid, *run_args)
+            if int(np.asarray(ovf).max()) == 0:
+                for rc in chain_caps:
+                    self._runs.pop(rc)
+                self._runs[c] = (hi, lo, n)
+                return
+            factor *= 2  # exact retry with more a2a headroom
+        raise RuntimeError("all_to_all capacity overflow persisted after retries")
+
+    def flush(self):
+        from ..ops.count import rle_compact
+
+        for cap in sorted(self._runs):
+            hi, lo, n = self._runs[cap]
+
+            def per_shard(h, l, nn):
+                uhi, ulo, ucnt, nu = rle_compact(
+                    h.reshape(-1), l.reshape(-1), nn.reshape(())
+                )
+                return uhi[None], ulo[None], ucnt[None], nu[None]
+
+            fn = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(P("shard", None), P("shard", None), P("shard")),
+                    out_specs=(
+                        P("shard", None),
+                        P("shard", None),
+                        P("shard", None),
+                        P("shard"),
+                    ),
+                )
+            )
+            uhi, ulo, ucnt, nu = map(np.asarray, fn(hi, lo, n))
+            for s in range(self.n_shards):
+                m = int(nu[s])
+                if m:
+                    self._vals.append(join_u64(uhi[s, :m], ulo[s, :m]))
+                    self._cnts.append(ucnt[s, :m].astype(np.int64))
+        self._runs = {}
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        """Final (vals uint64, counts int64), globally value-sorted.
+
+        Within one flush epoch shard outputs are disjoint value sets
+        (each k-mer is owned by one shard), but a k-mer can recur across
+        flush epochs, so the host accumulator reduces duplicates."""
+        from ..engine import CountAccumulator
+
+        self.flush()
+        acc = CountAccumulator()
+        for v, c in zip(self._vals, self._cnts):
+            acc.add(v, c)
+        return acc.result()

@@ -170,3 +170,27 @@ def test_query_file_batch_split_exact(tmp_path):
         got_big = query_file(db_vals, reads_file, k, min_hits)
         assert got_small == oracle(min_hits), min_hits
         assert got_big == oracle(min_hits), min_hits
+
+
+def test_device_count_table_across_flushes(monkeypatch):
+    """Counts for k-mers seen before AND after a flush must sum exactly
+    (flush hands partial counts to the host accumulator)."""
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.engine import DeviceCountTable
+
+    monkeypatch.setattr(DeviceCountTable, "FLUSH_WINDOWS", 6000)
+    rng = np.random.default_rng(21)
+    k = 9
+    table = DeviceCountTable(k)
+    all_codes = []
+    for _ in range(5):  # 5 batches of 4k positions -> several flushes
+        codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+        codes[rng.random(4000) < 0.02] = 255
+        table.update(codes)
+        all_codes.append(codes)
+        all_codes.append(np.full(k - 1, 255, dtype=np.uint8))  # separator
+    vals, cnts = table.result()
+    ref = codec.extract_kmers_np(np.concatenate(all_codes), k)
+    ev, ec = np.unique(ref, return_counts=True)
+    np.testing.assert_array_equal(vals, ev)
+    np.testing.assert_array_equal(cnts, ec)

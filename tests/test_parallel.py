@@ -75,3 +75,65 @@ def test_all_to_all_overflow_retry_is_exact():
     )
     np.testing.assert_array_equal(vals, exp_vals)
     np.testing.assert_array_equal(counts, exp_counts)
+
+
+class TestShardedCountTable:
+    def test_streaming_matches_oracle(self):
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+        from orion_kmer_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(31)
+        k = 17
+        mesh = make_mesh(n_devices=8)
+        table = ShardedCountTable(k, mesh=mesh)
+        parts = []
+        for _ in range(3):
+            codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+            codes[rng.random(5000) < 0.02] = 255
+            table.update(codes)
+            parts.append(codes)
+            parts.append(np.full(k - 1, 255, dtype=np.uint8))
+        vals, cnts = table.result()
+        ref = codec.extract_kmers_np(np.concatenate(parts), k)
+        ev, ec = np.unique(ref, return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(cnts, ec)
+
+    def test_shard_count_invariance(self):
+        """1-device and 8-device streaming tables produce identical
+        results (the determinism contract replacing race detection)."""
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+        from orion_kmer_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(32)
+        k = 11
+        codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+        codes[rng.random(6000) < 0.05] = 255
+        res = []
+        for nd in (1, 8):
+            t = ShardedCountTable(k, mesh=make_mesh(n_devices=nd))
+            t.update(codes)
+            res.append(t.result())
+        np.testing.assert_array_equal(res[0][0], res[1][0])
+        np.testing.assert_array_equal(res[0][1], res[1][1])
+
+    def test_mid_stream_flush_accumulates(self):
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+        from orion_kmer_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(33)
+        k = 7
+        codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+        t = ShardedCountTable(k, mesh=make_mesh(n_devices=4))
+        t.update(codes)
+        t.flush()  # force an epoch boundary
+        t.update(codes)  # same batch again: every count doubles
+        vals, cnts = t.result()
+        sep = np.full(k - 1, 255, dtype=np.uint8)
+        ref = codec.extract_kmers_np(np.concatenate([codes, sep, codes]), k)
+        ev, ec = np.unique(ref, return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(cnts, ec)
