@@ -419,10 +419,33 @@ def _prefetch(iterator, depth: int = 2):
         raise err[0]
 
 
+def _make_count_table(k: int):
+    """DeviceCountTable on one chip; ShardedCountTable over the mesh when
+    several devices are available (ORION_KMER_SHARDS: auto [default] =
+    all TPU devices, 0 = force single-chip, N = first N devices of any
+    platform -- the CPU-mesh tests use explicit N)."""
+    mode = os.environ.get("ORION_KMER_SHARDS", "auto")
+    if mode != "0":
+        n_dev = len(jax.devices())
+        want = None
+        if mode == "auto":
+            if jax.default_backend() == "tpu" and n_dev > 1:
+                want = n_dev
+        elif mode.isdigit() and int(mode) > 1:
+            want = min(int(mode), n_dev)
+        if want is not None and want > 1:
+            from .parallel.mesh import make_mesh
+            from .parallel.streaming import ShardedCountTable
+
+            return ShardedCountTable(k, mesh=make_mesh(n_devices=want))
+    return DeviceCountTable(k)
+
+
 def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Canonical k-mer counts of one file via the fastest ingest path:
-    native parse -> prefetch -> device-resident accumulation -> one fetch."""
-    table = DeviceCountTable(k)
+    native parse -> prefetch -> device-resident accumulation -> one fetch.
+    Spans the device mesh automatically when several chips are present."""
+    table = _make_count_table(k)
     for batch in _prefetch(stream_file_batches(path, k, normalize=normalize)):
         table.update(batch.codes)
     return table.result()

@@ -137,3 +137,23 @@ class TestShardedCountTable:
         ev, ec = np.unique(ref, return_counts=True)
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(cnts, ec)
+
+
+def test_count_file_sharded_matches_single(tmp_path, monkeypatch):
+    """ORION_KMER_SHARDS=8 routes count_file through the mesh; output
+    must match the single-chip path byte-exactly."""
+    from orion_kmer_tpu.engine import count_file
+
+    rng = np.random.default_rng(44)
+    lines = []
+    for i in range(30):
+        seq = "".join(rng.choice(list("ACGTN"), rng.integers(10, 400)))
+        lines.append(f">r{i}\n{seq}\n")
+    path = tmp_path / "reads.fasta"
+    path.write_text("".join(lines))
+    monkeypatch.setenv("ORION_KMER_SHARDS", "0")
+    v1, c1 = count_file(path, 13)
+    monkeypatch.setenv("ORION_KMER_SHARDS", "8")
+    v2, c2 = count_file(path, 13)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(c1, c2)
