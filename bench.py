@@ -116,15 +116,13 @@ def main() -> None:
     step_dt = (time.perf_counter() - t0) / iters
     step_kmers_per_s = (BATCH - K + 1) / step_dt
 
-    # Secondary: FracMinHash sketching throughput (Gbp/s).
-    from orion_kmer_tpu.ops.count import unpack_lanes
-    from orion_kmer_tpu.ops.sketch import sketch_batch
+    # Secondary: FracMinHash sketching throughput (Gbp/s), wire-format path.
+    from orion_kmer_tpu.ops.sketch import sketch_packed
 
     @jax.jit
     def sketch_step(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
-        codes, invalid = unpack_lanes(lanes, inv)
-        h, l, c, nu = sketch_batch(codes, invalid, K, 1000)
+        h, l, c, nu = sketch_packed(lanes, inv, K, 1000)
         return (
             jnp.sum(h, dtype=jnp.uint32) ^ jnp.sum(c.astype(jnp.uint32))
         ).astype(jnp.int32) + nu

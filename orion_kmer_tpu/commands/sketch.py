@@ -33,15 +33,16 @@ logger = logging.getLogger("orion_kmer_tpu.sketch")
 
 def sketch_file(path, k: int, scaled: int, num: int = 0):
     """FracMinHash sketch of one FASTA/FASTQ file -> (hashes, abundances)."""
+    from ..engine import pack_for_transfer
+    from ..ops.sketch import sketch_packed
+
     acc = CountAccumulator()
     for batch in stream_file_batches(path, k, normalize=True):
         n = batch.codes.shape[0]
         size = _bucket(n)
-        uhi, ulo, cnt, nu = sketch_batch(
-            jnp.asarray(_pad(batch.codes, size, 0)),
-            jnp.asarray(_pad(batch.invalid, size, True)),
-            k,
-            scaled,
+        lanes, inv_words = pack_for_transfer(batch.codes, size)
+        uhi, ulo, cnt, nu = sketch_packed(
+            jnp.asarray(lanes), jnp.asarray(inv_words), k, scaled
         )
         nu = int(nu)
         acc.add(join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu]), np.asarray(cnt)[:nu])

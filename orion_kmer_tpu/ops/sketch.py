@@ -42,12 +42,8 @@ def _sparse_cap(n: int, scaled: int) -> int:
     return cap
 
 
-@partial(jax.jit, static_argnames=("k", "scaled"))
-def sketch_batch(codes, invalid, k: int, scaled: int):
-    """Extract canonical k-mers, hash, keep h < 2^64/scaled, dedupe+count.
-
-    Returns (uhash_hi, uhash_lo, counts, n_unique): sorted unique KEPT
-    hash values with their abundances.
+def _sketch_from_hashes(hhi, hlo, valid, scaled: int):
+    """Shared tail: threshold-filter hash pairs, dedupe + count.
 
     For scaled >> 1 only ~n/scaled hashes survive the threshold, so
     sorting the full stream wastes ~scaled x the work: the sparse path
@@ -59,8 +55,6 @@ def sketch_batch(codes, invalid, k: int, scaled: int):
     """
     from .count import SENTINEL, _compact_left, _rle_sorted
 
-    hi, lo, valid = extract_canonical(codes, invalid, k)
-    hhi, hlo = splitmix64_pair(hi, lo)
     if scaled == 1:
         keep = valid  # threshold is the full 2^64 space: keep everything
     else:
@@ -83,6 +77,30 @@ def sketch_batch(codes, invalid, k: int, scaled: int):
     clo = jnp.where(idx < n_kept, clo, SENTINEL)[:cap]
     shi, slo = jax.lax.sort((chi, clo), num_keys=2)
     return _rle_sorted(shi, slo, jnp.minimum(n_kept, cap))
+
+
+@partial(jax.jit, static_argnames=("k", "scaled"))
+def sketch_batch(codes, invalid, k: int, scaled: int):
+    """Extract canonical k-mers, hash, keep h < 2^64/scaled, dedupe+count.
+
+    Returns (uhash_hi, uhash_lo, counts, n_unique): sorted unique KEPT
+    hash values with their abundances.
+    """
+    hi, lo, valid = extract_canonical(codes, invalid, k)
+    hhi, hlo = splitmix64_pair(hi, lo)
+    return _sketch_from_hashes(hhi, hlo, valid, scaled)
+
+
+@partial(jax.jit, static_argnames=("k", "scaled"))
+def sketch_packed(lanes, invalid_words, k: int, scaled: int):
+    """sketch_batch over the packed wire format (3.2x less transfer,
+    lane-parallel extraction)."""
+    from .kmers_lanes import extract_canonical_lanes
+
+    n_positions = lanes.shape[0] * 16
+    hi, lo, valid = extract_canonical_lanes(lanes, invalid_words, k, n_positions)
+    hhi, hlo = splitmix64_pair(hi.reshape(-1), lo.reshape(-1))
+    return _sketch_from_hashes(hhi, hlo, valid.reshape(-1), scaled)
 
 
 def sketch_compare(a: np.ndarray, b: np.ndarray) -> dict:

@@ -98,3 +98,27 @@ def test_sketch_param_mismatch(tmp_path, capsys):
     rc = run_cli("sketch-compare", "-s", s1, s2, "-o", tmp_path / "o.json")
     assert rc == 1
     assert "Sketch parameter mismatch" in capsys.readouterr().err
+
+
+def test_sketch_packed_matches_sketch_batch():
+    from orion_kmer_tpu.engine import pack_for_transfer
+    from orion_kmer_tpu.ops.sketch import sketch_packed
+
+    rng = np.random.default_rng(55)
+    n = 1 << 14
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    codes[rng.random(n) < 0.01] = 255
+    k, scaled = 21, 8
+    ehi, elo, ecnt, enu = sketch_batch(
+        jnp.asarray(np.where(codes > 3, 0, codes)),
+        jnp.asarray(codes > 3),
+        k,
+        scaled,
+    )
+    lanes, inv = pack_for_transfer(codes, n)
+    ghi, glo, gcnt, gnu = sketch_packed(jnp.asarray(lanes), jnp.asarray(inv), k, scaled)
+    enu, gnu = int(enu), int(gnu)
+    assert enu == gnu
+    np.testing.assert_array_equal(np.asarray(ghi)[:gnu], np.asarray(ehi)[:enu])
+    np.testing.assert_array_equal(np.asarray(glo)[:gnu], np.asarray(elo)[:enu])
+    np.testing.assert_array_equal(np.asarray(gcnt)[:gnu], np.asarray(ecnt)[:enu])
