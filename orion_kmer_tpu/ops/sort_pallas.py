@@ -43,8 +43,8 @@ _LANES = 128
 # few stages on small blocks and compiles quickly.
 MAX_SORT_N = 1 << 14
 # Per-grid-block size for the tiled merge tail (3 planes live in VMEM;
-# 15 stages on (256,128) blocks keeps the Mosaic program small).
-MERGE_BLOCK = 1 << 15
+# 16 stages on (512,128) blocks keeps the Mosaic program small).
+MERGE_BLOCK = 1 << 16
 
 
 def _log2(n: int) -> int:
