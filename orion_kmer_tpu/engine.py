@@ -4,9 +4,11 @@ The host packs FASTA/FASTQ records into fixed-shape 2-bit code tensors
 (records separated by k-1 invalid positions so no window spans two
 records; long records are split with a (k-1)-base halo so every window is
 produced exactly once -- the k-mer analog of blockwise context
-parallelism, see SURVEY.md section 5).  The device extracts canonical
-k-mers, sorts, and run-length-encodes each batch; the host merges the
-per-batch sorted uniques with one final vectorized numpy reduction.
+parallelism, see SURVEY.md section 5).  The device extracts + sorts each
+batch into a raw canonical k-mer stream, accumulates streams in an LSM
+merge forest (single-chip DeviceCountTable here; the mesh-wide
+ShardedCountTable in parallel/streaming.py), and run-length encodes once
+per flush; the host merges flush epochs with one vectorized reduction.
 
 Shapes are padded to power-of-two buckets so XLA compiles each kernel a
 bounded number of times.
@@ -357,35 +359,6 @@ class DeviceCountTable:
     def result(self) -> tuple[np.ndarray, np.ndarray]:
         self.flush()
         return self._acc.result()
-
-
-def _count_batch_device(codes: np.ndarray, invalid: np.ndarray, k: int):
-    """One device round-trip: extract + canonicalize + sort + RLE.
-
-    Only the code array is shipped; padding uses the invalid code (255)
-    and the window mask is derived on device (count_codes)."""
-    from .ops.count import count_codes
-
-    n = codes.shape[0]
-    size = _bucket(n)
-    codes_p = _pad(codes, size, codec.INVALID_CODE)
-    uhi, ulo, cnt, nu = count_codes(jnp.asarray(codes_p), k)
-    nu = int(nu)
-    uhi = np.asarray(uhi[:nu])
-    ulo = np.asarray(ulo[:nu])
-    cnt = np.asarray(cnt[:nu])
-    return join_u64(uhi, ulo), cnt
-
-
-def count_records(
-    records: Iterable[Record], k: int, normalize: bool = True
-) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical k-mer counts over a record stream -> (vals, counts)."""
-    acc = CountAccumulator()
-    for batch in iter_packed_batches(records, k, normalize=normalize):
-        vals, cnt = _count_batch_device(batch.codes, batch.invalid, k)
-        acc.add(vals, cnt)
-    return acc.result()
 
 
 def _prefetch(iterator, depth: int = 2):

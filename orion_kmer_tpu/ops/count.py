@@ -88,18 +88,6 @@ def _rle_sorted(shi, slo, n_valid, weights=None):
     return uhi, ulo, ucnt, n_unique
 
 
-@partial(jax.jit, static_argnames=("k",))
-def count_codes(codes: jnp.ndarray, k: int):
-    """Fused single-dispatch count: derive the invalid mask on device
-    (code 255 marks invalid bases -- halves host->device traffic),
-    extract canonical k-mers, sort, RLE."""
-    from .kmers import extract_canonical
-
-    invalid = codes > 3
-    hi, lo, valid = extract_canonical(codes, invalid, k)
-    return count_kmers(hi, lo, valid)
-
-
 @jax.jit
 def count_kmers(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
     """Count occurrences of each distinct (hi, lo) pair.
@@ -121,26 +109,14 @@ def unique_kmers(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
     return uhi, ulo, n_unique
 
 
-def unpack_lanes(lanes: jnp.ndarray, invalid_words: jnp.ndarray):
-    """Expand transfer-packed bases: 16 bases/u32 lane + 32 invalid
-    bits/u32 word -> (codes u32[N], invalid bool[N]), N = 16*len(lanes).
-
-    The 5x denser wire format matters because host->device bandwidth is
-    the pipeline's scarcest resource (PCIe, or worse, a tunnel).
-    """
-    shifts2 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
-    codes = ((lanes[:, None] >> shifts2) & U32(3)).reshape(-1)
-    shifts1 = jnp.arange(32, dtype=jnp.uint32)[None, :]
-    invalid = (((invalid_words[:, None] >> shifts1) & U32(1)) == 1).reshape(-1)
-    return codes, invalid
-
-
 @partial(jax.jit, static_argnames=("k",))
 def count_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
-    """count_codes over the packed wire format, via the lane-parallel
-    extractor (ops/kmers_lanes.py) -- no byte-per-base expansion, and
-    counting is order-independent so the (offset, lane) layout flattens
-    straight into the sort."""
+    """Exact count of one packed batch via the lane-parallel extractor
+    (ops/kmers_lanes.py) -- no byte-per-base expansion, and counting is
+    order-independent so the (offset, lane) layout flattens straight
+    into the sort.  The hot pipeline uses sort_canonical_packed +
+    rle_compact instead (RLE deferred to flush); this one-shot variant
+    serves small inputs and tests."""
     from .kmers_lanes import extract_canonical_lanes
 
     n_positions = lanes.shape[0] * 16
@@ -271,24 +247,6 @@ def count_packed_multi(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
     n_unique) with capacity = #positions."""
     shi, slo, n_valid = sort_canonical_packed(lanes, invalid_words, k)
     return rle_compact(shi, slo, n_valid)
-
-
-@jax.jit
-def merge_runs(a_hi, a_lo, a_cnt, a_n, b_hi, b_lo, b_cnt, b_n):
-    """Merge two sorted-unique weighted runs into one sorted-unique run.
-
-    Inputs are sentinel-padded past their valid counts a_n / b_n; output
-    arrays have size len(a) + len(b), sorted unique with summed counts.
-    Uses the Pallas bitonic-merge network (log n stages, ~6x faster than
-    a lax re-sort) since both runs are already sorted.  Note the hot
-    count pipeline (engine.DeviceCountTable) merges raw weight-1 streams
-    with merge_sorted_streams instead and RLEs once at flush; this
-    weighted variant serves checkpoint resume and multi-run reduction.
-    """
-    from .sort_pallas import merge_sorted_pairs
-
-    shi, slo, scnt = merge_sorted_pairs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt)
-    return _rle_sorted(shi, slo, a_n + b_n, weights=scnt)
 
 
 @partial(jax.jit, static_argnames=("num_reads",))

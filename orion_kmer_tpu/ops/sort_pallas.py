@@ -1,27 +1,29 @@
-"""Pallas TPU bitonic sort / merge for (hi, lo[, cnt]) u32 planes.
+"""Pallas TPU kernels for the scatter-free counting pipeline.
 
-Replaces jax.lax.sort on the two hot paths of the counting pipeline
-(the reference's DashMap insert loop, count.rs:30-35, became sort+RLE
-on TPU -- see ops/count.py):
+Three families, all built from compare-exchange / conditional-shift
+passes on (rows, 128) planes of u32:
 
-* ``sort_pairs``   -- full bitonic sort of a fresh chunk's canonical
-  k-mer pairs (the per-chunk "insert" step).
-* ``merge_runs_planes`` -- bitonic *merge* of two already-sorted runs
-  (the LSM forest level-up step).  A merge needs only log2(n) stages
-  versus log2(n)*(log2(n)+1)/2 for a full sort, and every stage is an
-  all-ascending compare-exchange with no direction masks, so this is
-  ~10-15x cheaper than the lax.sort it replaces.
-
-Layout: the flat input is viewed as memory (R, 128); the kernel sorts
-in COLUMN-MAJOR logical order (element i lives at row i % R, lane
-i // R).  That makes every stage with stride < R a sublane-dimension
-reshape + select (cheap on the VPU) and only the top log2(128) = 7
-logical bits lane-crossing (handled with pltpu.roll).  Sorting is
-permutation-invariant so the input needs no pre-permutation; the output
-is un-transposed back to row-major flat form with one XLA transpose.
+* **Bitonic merge** (merge_sorted_streams / merge_sorted_pairs): merging
+  two sorted runs needs only the log2(n) all-ascending stages of a
+  bitonic merge, not a full re-sort -- ~6x faster than lax.sort with a
+  payload.  Big strides run fused in groups of up to three per kernel
+  (2^m XOR-offset block views in, DMA block writes out); the low-stride
+  tail runs in one gridded VMEM kernel.
+* **Monotone-shift compaction** (compact_left_pallas): kept elements
+  move left by (#dropped before them) -- non-decreasing shifts with
+  distinct destinations decompose into log2(n) conditional fixed-offset
+  passes, LSB-first (collision-freedom validated against a numpy
+  oracle).  Bits 0..14 (combined span < one 2^15 block) run as three
+  5-pass window kernels; higher bits run pair-fused via four block
+  views.
+* **Monolithic bitonic sort** (sort_pairs): a full in-VMEM network,
+  kept for n <= 2^14 only -- Mosaic compile time scales with unrolled
+  stages x sublane rows (2^14 compiles in ~17 s, 2^16 DNF in 10 min),
+  and a compile-feasible tiled variant only matches lax.sort, so chunk
+  sorts stay on lax.sort.
 
 Off-TPU the public wrappers fall back to jax.lax.sort (bit-identical
-semantics: ascending lexicographic on the (hi, lo) u64).
+semantics); the Pallas paths run under interpret=True in tests.
 """
 
 from __future__ import annotations
