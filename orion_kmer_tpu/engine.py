@@ -31,7 +31,7 @@ enable_persistent_cache()
 from .ingest.fastx import Record, parse_fastx_file
 from .ops.count import count_kmers, hits_per_read
 from .ops.kmers import extract_canonical, join_u64, split_u64
-from .ops.setops import membership
+from .ops.setops import membership, membership_sorted
 
 # Positions per device batch.  TPU batches are large to amortize dispatch;
 # CPU (tests) round down hard via bucketing anyway.
@@ -607,7 +607,9 @@ def membership_and_depth(
     rh, rl = split_u64(ref_vals)
     qs = _bucket(n, minimum=1)
     rs = _bucket(ref_vals.shape[0], minimum=1)
-    member = membership(
+    # input_vals is sorted unique (a count table), so the cheaper
+    # compaction-aligned join applies
+    member = membership_sorted(
         jnp.asarray(_pad(qh, qs, 0)),
         jnp.asarray(_pad(ql, qs, 0)),
         jnp.asarray(_pad(np.ones(n, bool), qs, False)),

@@ -31,17 +31,14 @@ def _mask_to_sentinel(hi, lo, valid):
     return hi, lo
 
 
-def _rle_sorted(shi, slo, n_valid, weights=None):
+def _rle_sorted(shi, slo, n_valid):
     """Run-length encode a sorted (hi, lo) stream whose valid prefix has
-    length n_valid.  Returns compacted unique pairs, their summed weights
-    (1 per element when weights is None) and the number of uniques; the
-    tail of the output arrays is SENTINEL/0.
+    length n_valid.  Returns compacted unique pairs, their counts and the
+    number of uniques; the tail of the output arrays is SENTINEL/0.
 
     Entirely scatter-free (XLA scatters cost ~16 ms per 1M elements on
-    TPU): unweighted run totals are next-head-index differences via a
-    reverse cummin; weighted totals difference a weight cumsum whose
-    run-end value propagates to the head with one segmented-copy
-    associative scan; heads compact to the front with the monotone-shift
+    TPU): run totals are next-head-index differences via a reverse
+    cummin, and heads compact to the front with the monotone-shift
     compactor (_compact_left).
     """
     n = shi.shape[0]
@@ -52,32 +49,13 @@ def _rle_sorted(shi, slo, n_valid, weights=None):
     is_new = (shi != prev_hi) | (slo != prev_lo)
     is_head = (is_new | (idx == 0)) & in_prefix
 
-    if weights is None:
-        head_pos = jnp.where(is_head, idx, n)
-        next_head_incl = jax.lax.cummin(head_pos, reverse=True)
-        next_head_after = jnp.concatenate(
-            [next_head_incl[1:], jnp.full((1,), n, jnp.int32)]
-        )
-        run_end = jnp.minimum(next_head_after, n_valid)
-        cnt = jnp.where(is_head, run_end - idx, 0)
-    else:
-        contrib = jnp.where(in_prefix, weights, 0)
-        csum = jnp.cumsum(contrib)  # inclusive
-        nxt_head = jnp.concatenate([is_head[1:], jnp.zeros(1, jnp.bool_)])
-        is_last = in_prefix & (nxt_head | (idx == n_valid - 1))
-        # propagate each run's last inclusive cumsum back to its head:
-        # segmented copy-first scan over the reversed sequence
-        rv = csum[::-1]
-        rf = is_last[::-1]
-
-        def seg_copy(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, bv, av), af | bf
-
-        end_csum_rev, _ = jax.lax.associative_scan(seg_copy, (rv, rf))
-        end_csum = end_csum_rev[::-1]
-        cnt = jnp.where(is_head, end_csum - csum + contrib, 0)
+    head_pos = jnp.where(is_head, idx, n)
+    next_head_incl = jax.lax.cummin(head_pos, reverse=True)
+    next_head_after = jnp.concatenate(
+        [next_head_incl[1:], jnp.full((1,), n, jnp.int32)]
+    )
+    run_end = jnp.minimum(next_head_after, n_valid)
+    cnt = jnp.where(is_head, run_end - idx, 0)
 
     uhi, ulo, ucnt = _compact_left([shi, slo, cnt], is_head)
     n_unique = is_head.astype(jnp.int32).sum()
