@@ -474,11 +474,18 @@ def _query_step_packed(
     member = membership(
         hi.reshape(-1), lo.reshape(-1), valid.reshape(-1), db_hi, db_lo, db_valid
     )
-    start_marks = jnp.zeros((N,), jnp.int32).at[local_starts].add(1, mode="drop")
-    owner_flat = jnp.cumsum(start_marks) - 1  # position order
-    # align with the (offset, lane) layout of member: index = o * W + w
-    owner_ow = owner_flat.reshape(W, 16).T.reshape(-1)
-    return hits_per_read(member, owner_ow, num_reads)
+    # per-read sums without any scatter: read regions are contiguous in
+    # position order, so hits[r] = P[start[r+1]] - P[start[r]] over the
+    # member prefix sum (two num_reads-sized gathers; a scatter-add into
+    # the reads table measured ~9 ms per 1M windows on TPU)
+    member_pos = member.reshape(16, W).T.reshape(-1)  # (offset,lane) -> position
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(member_pos.astype(jnp.int32))]
+    )
+    starts = jnp.clip(local_starts, 0, N)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), N, jnp.int32)])
+    ends = jnp.maximum(ends, starts)  # padding starts (=N) stay empty
+    return prefix[ends] - prefix[starts]
 
 
 def _query_batches(
