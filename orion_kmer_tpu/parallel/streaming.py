@@ -175,7 +175,7 @@ class ShardedCountTable:
         d_invalid = jax.device_put(blk_invalid, sharding)
 
         factor = self.capacity_factor
-        for _attempt in range(4):
+        while True:
             cap = int(np.ceil(factor * block / S))
             M = S * cap  # per-shard stream capacity for this batch
             chain_caps = []
@@ -193,8 +193,11 @@ class ShardedCountTable:
                     self._runs.pop(rc)
                 self._runs[c] = (hi, lo, n)
                 return
-            factor *= 2  # exact retry with more a2a headroom
-        raise RuntimeError("all_to_all capacity overflow persisted after retries")
+            if factor >= S:  # cap == block: overflow is impossible
+                raise AssertionError("a2a overflow at full capacity")
+            # exact retry with more headroom; factor == S is guaranteed
+            # sufficient (every window of a block fits one destination)
+            factor = min(factor * 4, S)
 
     def flush(self):
         from ..ops.count import rle_compact

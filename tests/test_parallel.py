@@ -157,3 +157,21 @@ def test_count_file_sharded_matches_single(tmp_path, monkeypatch):
     v2, c2 = count_file(path, 13)
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_streaming_overflow_retry_is_exact():
+    """A skewed batch (one k-mer dominates) overflows the a2a capacity at
+    a tiny factor; the streaming table must retry and stay exact."""
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+    from orion_kmer_tpu.parallel import make_mesh
+
+    k = 9
+    codes = np.zeros(4000, dtype=np.uint8)  # poly-A: every window identical
+    codes[3000:] = np.random.default_rng(3).integers(0, 4, 1000)
+    t = ShardedCountTable(k, mesh=make_mesh(n_devices=4), capacity_factor=0.05)
+    t.update(codes)
+    vals, cnts = t.result()
+    ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+    np.testing.assert_array_equal(vals, ev)
+    np.testing.assert_array_equal(cnts, ec)
