@@ -136,6 +136,37 @@ def main() -> None:
     sketch_dt = (time.perf_counter() - t0) / iters
     sketch_gbps = BATCH / sketch_dt / 1e9
 
+    # Secondary: query throughput (windows screened against a DB set,
+    # multiplicity hit counting -- query.rs:87-94 semantics).
+    from orion_kmer_tpu.engine import _query_step_packed
+
+    db_n = 1 << 22
+    dbv = np.unique(rng.integers(0, 1 << 62, size=db_n, dtype=np.uint64))
+    db_hi = jax.device_put(jnp.asarray((dbv >> np.uint64(32)).astype(np.uint32)))
+    db_lo = jax.device_put(jnp.asarray(dbv.astype(np.uint32)))
+    db_valid = jax.device_put(jnp.ones(dbv.shape[0], dtype=bool))
+    nr = 4096
+    starts = jnp.asarray(
+        np.sort(rng.choice(BATCH, size=nr, replace=False)).astype(np.int32)
+    )
+
+    @jax.jit
+    def query_step(lanes, inv, carry):
+        inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
+        hits = _query_step_packed(
+            lanes, inv, starts, db_hi, db_lo, db_valid, K, nr, jnp.int32(BATCH)
+        )
+        return jnp.sum(hits, dtype=jnp.int32) & 0x7FFF
+
+    int(query_step(dl, di, jnp.int32(0)))
+    t0 = time.perf_counter()
+    carry = jnp.int32(0)
+    for _ in range(iters):
+        carry = query_step(dl, di, carry)
+    int(carry)
+    query_dt = (time.perf_counter() - t0) / iters
+    query_windows_per_s = (BATCH - K + 1) / query_dt
+
     # CPU proxy (single-core numpy, identical semantics; best of 3 --
     # the shared host's load makes single runs noisy)
     proxy_codes = first_codes[:CPU_PROXY_N]
@@ -165,6 +196,7 @@ def main() -> None:
         "pipeline_seconds": round(best, 4),
         "batch_step_kmers_per_s": round(step_kmers_per_s, 1),
         "sketch_gbps_scaled1000": round(sketch_gbps, 3),
+        "query_windows_per_s": round(query_windows_per_s, 1),
     }
     print(json.dumps(result))
 

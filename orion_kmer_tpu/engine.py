@@ -462,9 +462,8 @@ def _query_step_packed(
     """Wire-format query step: lane extraction + on-device read ownership.
 
     ``local_starts`` are the batch-local record start positions (first
-    record clamped to 0; padding indices out of range are dropped), so
-    owner[p] = (#starts <= p) - 1 comes from a scatter + cumsum instead
-    of shipping a 4-byte owner per base.
+    record clamped to 0; padding entries = batch size, past every real
+    position), so no per-base owner array ever crosses the host link.
     """
     from .ops.kmers_lanes import extract_canonical_lanes
 

@@ -2,15 +2,24 @@
 
 The reference uses std HashSet probes for membership (query.rs:90,
 classify.rs:230-236) and intersection counting (compare.rs:58).  The
-TPU-native equivalent is a sort-merge join: concatenate the two streams
-with a provenance flag, sort lexicographically by (hi, lo, flag) with
-XLA's variadic sort, and answer membership / intersection questions from
-run structure.  Deterministic, collision-free, no 64-bit emulation, and
-scatter/gather-free: the run head's provenance propagates forward with a
-segmented-copy associative scan, and query order is restored either by
-monotone-shift compaction (when queries are sorted unique, the classify
-case) or by one more single-key sort (the general case) -- XLA scatters
-and gathers cost ~16 / ~15 ms per 1M elements on TPU.
+TPU-native equivalent is a sort-merge join: the query stream is sorted
+by (hi, lo) -- or arrives already sorted -- and then MERGED with the
+db set, which is always sorted, via the bitonic-merge network
+(ops/sort_pallas.py): merging costs the log2(n) stages of a merge
+instead of re-sorting the static db every batch.
+
+Run-membership detection tolerates the merge's unstable within-run
+order: a query row is a member iff a db row exists anywhere in its run,
+checked with a forward cummax (last db position >= my run head) OR'd
+with a backward cummin (next db position <= my run end).  Everything is
+scatter/gather-free (XLA scatters and gathers cost ~16 / ~15 ms per 1M
+elements on TPU); query-order restoration is one single-key sort of a
+(position << 1 | member) packed key, or a monotone compaction when the
+queries are sorted unique (the classify case).
+
+Validity is threaded through the join: a SENTINEL-masked invalid query
+must never match even a genuine k-mer whose encoding equals SENTINEL
+(T^32 at k=32).
 """
 
 from __future__ import annotations
@@ -24,75 +33,84 @@ from .kmers import SENTINEL
 U32 = jnp.uint32
 
 
-def _member_sorted(qh, ql, q_extra, dh, dl, db_valid, db_extra_fill=()):
-    """Sort-merge join core.
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
 
-    Returns (member, flag==1, extras) all in joined-sorted order, where
-    member marks query elements whose run head is a db entry and extras
-    are q_extra payload planes carried through the sort; db rows hold
-    db_extra_fill[j] in extras plane j (default 0).  NOTE: flag==1 also
-    covers INVALID db slots (padding gets flag 1 so sentinel-valued
-    queries can never "match" it) -- callers distinguishing real queries
-    must do so via an extras plane with a distinct db fill.
+
+def _member_merged(q_planes, d_planes):
+    """Merge the pre-sorted query planes (hi, lo, flag=1, extras...) with
+    the db planes (hi, lo, flag=0 valid / 1 padding, extras...) and mark
+    query rows whose run contains a valid db row.
+
+    Returns (member, sflag, sextras) in merged order, sized
+    len(q) + len(d).
     """
-    nq = qh.shape[0]
-    nd = dh.shape[0]
-    hi = jnp.concatenate([dh, qh])
-    lo = jnp.concatenate([dl, ql])
-    # flag: 0 = db entry, 1 = query/padding. Within a run of equal
-    # (hi, lo) the db entry (unique) sorts first.
-    flag = jnp.concatenate(
-        [jnp.where(db_valid, 0, 1).astype(U32), jnp.ones((nq,), U32)]
-    )
-    extras = [
-        jnp.concatenate(
-            [
-                jnp.full((nd,), db_extra_fill[j] if j < len(db_extra_fill) else 0, e.dtype),
-                e,
-            ]
-        )
-        for j, e in enumerate(q_extra)
-    ]
-    sorted_all = jax.lax.sort((hi, lo, flag, *extras), num_keys=3)
-    shi, slo, sflag = sorted_all[:3]
-    sextras = sorted_all[3:]
+    from .sort_pallas import merge_sorted_planes
 
-    n = nd + nq
+    merged = merge_sorted_planes(d_planes, q_planes)
+    shi, slo, sflag = merged[:3]
+    sextras = merged[3:]
+    n = shi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     prev_hi = jnp.concatenate([jnp.full((1,), SENTINEL, U32), shi[:-1]])
     prev_lo = jnp.concatenate([jnp.full((1,), SENTINEL, U32), slo[:-1]])
     is_head = ((shi != prev_hi) | (slo != prev_lo)) | (idx == 0)
 
-    # "my run contains a db entry" == the last db row at or before me is
-    # at or after my run's head (the db row, unique per run, sorts first
-    # within its run).  Two native cummax ops -- no gathers, no scans.
-    last_db = jax.lax.cummax(jnp.where(sflag == 0, idx, -1))
+    is_db = sflag == 0
+    last_db = jax.lax.cummax(jnp.where(is_db, idx, -1))
     head_pos = jax.lax.cummax(jnp.where(is_head, idx, -1))
-    member = (sflag == 1) & (last_db >= head_pos)
-    return member, sflag == 1, sextras
+    fwd = last_db >= head_pos
+    next_db = jax.lax.cummin(jnp.where(is_db, idx, n), reverse=True)
+    nh_incl = jax.lax.cummin(jnp.where(is_head, idx, n), reverse=True)
+    next_head_after = jnp.concatenate([nh_incl[1:], jnp.full((1,), n, jnp.int32)])
+    bwd = next_db < next_head_after
+    member = (sflag == 1) & (fwd | bwd)
+    return member, sflag, sextras
+
+
+def _db_planes(db_hi, db_lo, db_valid, extra_fills, extra_dtypes):
+    nd = db_hi.shape[0]
+    dh = jnp.where(db_valid, db_hi, SENTINEL)
+    dl = jnp.where(db_valid, db_lo, SENTINEL)
+    dflag = jnp.where(db_valid, 0, 1).astype(U32)
+    extras = [
+        jnp.full((nd,), fill, dt) for fill, dt in zip(extra_fills, extra_dtypes)
+    ]
+    return [dh, dl, dflag, *extras]
 
 
 @jax.jit
 def membership(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
     """For each query element, is it present in the db set?
 
-    db entries must be unique where db_valid.  Invalid queries/db slots
-    are sentinel-masked and never match.  Returns bool[Nq] aligned with
-    the query order (restored with a single-key position sort).
+    db entries must be unique where db_valid and SORTED ascending in the
+    valid region (count tables and DB dumps are).  Invalid queries/db
+    slots never match.  Returns bool[Nq] aligned with the query order.
     """
     nq = q_hi.shape[0]
+    nd = db_hi.shape[0]
+    total = _next_pow2(nq + nd)
+    pad = total - nq - nd
+    big = jnp.uint32(0xFFFFFFFF)
     qh = jnp.where(q_valid, q_hi, SENTINEL)
     ql = jnp.where(q_valid, q_lo, SENTINEL)
-    dh = jnp.where(db_valid, db_hi, SENTINEL)
-    dl = jnp.where(db_valid, db_lo, SENTINEL)
-    pos = jnp.arange(nq, dtype=jnp.int32)
-    # db rows (valid OR padding) carry pos = nq so they sort past every
-    # real query position in the restore sort
-    member, _, (spos,) = _member_sorted(
-        qh, ql, [pos], dh, dl, db_valid, db_extra_fill=(nq,)
+    # packed restore key: (pos << 1) later gains the member bit; invalid
+    # queries keep their position so validity can be re-applied in order
+    pos = jnp.arange(nq, dtype=jnp.uint32)
+    qh = jnp.concatenate([qh, jnp.full((pad,), SENTINEL, U32)])
+    ql = jnp.concatenate([ql, jnp.full((pad,), SENTINEL, U32)])
+    pos = jnp.concatenate([pos, jnp.full((pad,), big, U32)])
+    sq = jax.lax.sort((qh, ql, pos), num_keys=2)
+    q_planes = [sq[0], sq[1], jnp.ones((nq + pad,), U32), sq[2]]
+    d_planes = _db_planes(db_hi, db_lo, db_valid, (big,), (U32,))
+    member, _, (spos,) = _member_merged(q_planes, d_planes)
+    # restore: single-key sort of (pos << 1 | member); db/pad rows carry
+    # pos = 2^32-1 and sort past every real (pos << 1) key
+    key = jnp.where(
+        spos == big, big, (spos << U32(1)) | member.astype(U32)
     )
-    _, smember = jax.lax.sort((spos, member.astype(U32)), num_keys=1)
-    return smember[:nq] == 1
+    (skey,) = jax.lax.sort((key,), num_keys=1)
+    return ((skey[:nq] & 1) == 1) & q_valid
 
 
 @jax.jit
@@ -100,24 +118,32 @@ def membership_sorted(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
     """Membership for queries that are SORTED UNIQUE with a valid prefix
     (the classify case: the input k-mer table).
 
-    Returns bool[Nq] aligned with the query order.  Because the queries
-    arrive sorted with invalids only in the tail, their joined-sorted
-    order IS their input order, so order restoration is one monotone
-    compaction instead of the general path's second sort.
+    Returns bool[Nq] aligned with the query order.  The queries are
+    already sorted, so the join is a pure merge and order restoration is
+    one monotone compaction.
     """
     from .count import _compact_left
 
     nq = q_hi.shape[0]
-    qh = jnp.where(q_valid, q_hi, SENTINEL)
-    ql = jnp.where(q_valid, q_lo, SENTINEL)
-    dh = jnp.where(db_valid, db_hi, SENTINEL)
-    dl = jnp.where(db_valid, db_lo, SENTINEL)
-    is_real_q = jnp.ones((nq,), U32)
-    member, _, (sreal,) = _member_sorted(
-        qh, ql, [is_real_q], dh, dl, db_valid, db_extra_fill=(0,)
+    nd = db_hi.shape[0]
+    total = _next_pow2(nq + nd)
+    pad = total - nq - nd
+    qh = jnp.concatenate(
+        [jnp.where(q_valid, q_hi, SENTINEL), jnp.full((pad,), SENTINEL, U32)]
     )
+    ql = jnp.concatenate(
+        [jnp.where(q_valid, q_lo, SENTINEL), jnp.full((pad,), SENTINEL, U32)]
+    )
+    is_real = jnp.concatenate(
+        [jnp.ones((nq,), U32), jnp.zeros((pad,), U32)]
+    )
+    q_planes = [qh, ql, jnp.ones((nq + pad,), U32), is_real]
+    d_planes = _db_planes(db_hi, db_lo, db_valid, (0,), (U32,))
+    member, _, (sreal,) = _member_merged(q_planes, d_planes)
+    # real queries appear in value order == their input order (sorted
+    # unique input with a valid prefix; sentinel-masked tails sort last)
     (cmember,) = _compact_left([member.astype(U32)], sreal == 1)
-    return cmember[:nq] == 1
+    return (cmember[:nq] == 1) & q_valid
 
 
 @jax.jit

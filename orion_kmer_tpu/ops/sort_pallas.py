@@ -376,9 +376,13 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
     while s >= B:
         strides.append(s)
         s //= 2
+    # fused group size is VMEM-bound: 2^m views + scratch of every plane
+    # must fit (~12 MB budget of 16 MB/core); 3 strides for <= 2 planes,
+    # 2 strides at 3-4 planes
+    max_group = 3 if len(planes2d) <= 2 else 2
     i = 0
     while i < len(strides):
-        grp = strides[i : i + 3]
+        grp = strides[i : i + max_group]
         if len(grp) >= 2:
             planes2d = _ce_fused_call(planes2d, grp, interpret)
         else:
@@ -694,6 +698,29 @@ def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
     interpret = jax.default_backend() != "tpu"
     shi, slo = _run_network([hi, lo], merge_only=False, interpret=interpret)
     return shi, slo
+
+
+def merge_sorted_planes(a_planes, b_planes):
+    """Merge two ascending-sorted plane tuples (keys = planes[0..1] as a
+    u64; further planes are payload).  Pallas bitonic merge when the
+    total is a power of two within range, lax.sort otherwise.  Payload
+    order within equal keys is unspecified (bitonic merges are not
+    stable)."""
+    n = a_planes[0].shape[0] + b_planes[0].shape[0]
+    if not (use_pallas_sort() and _pallas_ok(n, 1 << 62)):
+        cat = [
+            jnp.concatenate([a, b]).astype(U32)
+            for a, b in zip(a_planes, b_planes)
+        ]
+        out = jax.lax.sort(tuple(cat), num_keys=2)
+        return [
+            o.astype(p.dtype) for o, p in zip(out, a_planes)
+        ]
+    interpret = jax.default_backend() != "tpu"
+    a32 = [p.astype(U32) for p in a_planes]
+    b32 = [p.astype(U32) for p in b_planes]
+    out = _merge_halves(a32, b32, interpret=interpret)
+    return [o.astype(p.dtype) for o, p in zip(out, a_planes)]
 
 
 @jax.jit

@@ -188,3 +188,44 @@ def test_count_packed_multi_matches_count_packed(monkeypatch):
     np.testing.assert_array_equal(np.asarray(mhi[:mnu]), np.asarray(ehi[:enu]))
     np.testing.assert_array_equal(np.asarray(mlo[:mnu]), np.asarray(elo[:enu]))
     np.testing.assert_array_equal(np.asarray(mcnt[:mnu]), np.asarray(ecnt[:enu]))
+
+
+def test_invalid_query_never_matches_T32_db_entry():
+    """Regression: an invalid window is sentinel-masked to T^32's
+    encoding; it must not match a genuine T^32 db entry (k=32)."""
+    ff = np.uint32(0xFFFFFFFF)
+    m = ops_setops.membership(
+        jnp.asarray([ff, ff]),
+        jnp.asarray([ff, ff]),
+        jnp.asarray([False, True]),  # one invalid, one REAL T^32 window
+        jnp.asarray([ff]),
+        jnp.asarray([ff]),
+        jnp.asarray([True]),
+    )
+    np.testing.assert_array_equal(np.asarray(m), [False, True])
+
+
+def test_membership_sorted_matches_membership():
+    rng = np.random.default_rng(77)
+    nq, nd = 3000, 1 << 12
+    qv64 = np.sort(rng.integers(0, 1 << 20, nq).astype(np.uint64))
+    qv64 = np.unique(qv64)
+    nq = len(qv64)
+    dv64 = np.unique(rng.integers(0, 1 << 20, nd).astype(np.uint64))
+    qs, ds = 1 << 12, 1 << 13
+    qh = np.zeros(qs, np.uint32); ql = np.zeros(qs, np.uint32)
+    qh[:nq] = (qv64 >> 32).astype(np.uint32); ql[:nq] = qv64.astype(np.uint32)
+    qvalid = np.arange(qs) < nq
+    dh = np.zeros(ds, np.uint32); dl = np.zeros(ds, np.uint32)
+    dh[:len(dv64)] = (dv64 >> 32).astype(np.uint32); dl[:len(dv64)] = dv64.astype(np.uint32)
+    dvalid = np.arange(ds) < len(dv64)
+    a = np.asarray(ops_setops.membership(
+        jnp.asarray(qh), jnp.asarray(ql), jnp.asarray(qvalid),
+        jnp.asarray(dh), jnp.asarray(dl), jnp.asarray(dvalid)))
+    b = np.asarray(ops_setops.membership_sorted(
+        jnp.asarray(qh), jnp.asarray(ql), jnp.asarray(qvalid),
+        jnp.asarray(dh), jnp.asarray(dl), jnp.asarray(dvalid)))
+    exp = np.isin(qv64, dv64)
+    np.testing.assert_array_equal(a[:nq], exp)
+    np.testing.assert_array_equal(b[:nq], exp)
+    assert not a[nq:].any() and not b[nq:].any()
