@@ -402,6 +402,7 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
 
 
 COMPACT_BLOCK_ROWS = 256  # 2^15 elements per grid block
+STALE_S = 1 << 30  # frozen stale-copy shift marker (all tested bits clear)
 
 
 def _compact_pass_kernel(n_planes: int, m: int, n: int):
@@ -453,12 +454,17 @@ def _compact_pass_kernel(n_planes: int, m: int, n: int):
     return kernel
 
 
-def _ce_shift(window_planes, m: int, base_pos, n: int):
+def _ce_shift(window_planes, m: int, base_pos, n: int, freeze: bool = False):
     """One compaction pass on a row-window: every slot takes its partner
     at +m elements iff bit log2(m) of the partner's shift plane (last
     plane) is set and the partner is in range.  base_pos = global element
     index of the window's first cell.  Rows near the window top read
-    wrapped garbage; callers account for the shrinking valid region."""
+    wrapped garbage; callers account for the shrinking valid region.
+
+    With freeze=True a slot whose occupant departs un-overwritten gets
+    shift STALE_S, so stale copies never move again and the placement
+    stage can identify live cells (validated against a numpy oracle).
+    """
     rows = window_planes[0].shape[0]
     if m >= _LANES:
         dr = m // _LANES
@@ -478,11 +484,16 @@ def _ce_shift(window_planes, m: int, base_pos, n: int):
     pos = base_pos + r_iota * _LANES + l_iota
     recv = ((s_part & m) != 0) & (pos + m < n)
     out = [jnp.where(recv, p, w) for p, w in zip(partners[:-1], window_planes[:-1])]
-    out.append(jnp.where(recv, s_part - m, window_planes[-1].astype(jnp.int32)))
+    s_self = window_planes[-1].astype(jnp.int32)
+    if freeze:
+        s_keep = jnp.where((s_self & m) != 0, STALE_S, s_self)
+    else:
+        s_keep = s_self
+    out.append(jnp.where(recv, s_part - m, s_keep))
     return out
 
 
-def _compact_window_kernel(n_planes: int, b0: int, b1: int, n: int):
+def _compact_window_kernel(n_planes: int, b0: int, b1: int, n: int, freeze: bool):
     """Fused low-bit passes b0..b1 (total shift < one block): reads the
     2-block window once, runs all passes in VMEM, writes block i.  Cuts
     the per-pass HBM round trips of the low bits to a single one."""
@@ -497,7 +508,7 @@ def _compact_window_kernel(n_planes: int, b0: int, b1: int, n: int):
         i = pl.program_id(0)
         base = i * Rb * _LANES
         for b in range(b0, b1 + 1):
-            window = _ce_shift(window, 1 << b, base, n)
+            window = _ce_shift(window, 1 << b, base, n, freeze=freeze)
         for j in range(P1):
             outs[j][:] = window[j][:Rb].astype(outs[j].dtype)
 
@@ -572,7 +583,7 @@ def compact_pass_pallas(planes, s, m: int, interpret: bool):
     return list(outs[:n_planes]), outs[n_planes]
 
 
-def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool):
+def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool, freeze: bool = False):
     rows = planes[0].shape[0]
     n = rows * _LANES
     P1 = len(planes) + 1
@@ -584,7 +595,7 @@ def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool):
     )
     args = list(planes) + [s]
     outs = pl.pallas_call(
-        _compact_window_kernel(len(planes), b0, b1, n),
+        _compact_window_kernel(len(planes), b0, b1, n, freeze),
         grid=(nb,),
         in_specs=[blk_self] * P1 + [blk_next] * P1,
         out_specs=[blk_self] * P1,
@@ -627,16 +638,107 @@ def _compact_pair_call(planes, s, b: int, interpret: bool):
     return list(outs[: len(planes)]), outs[len(planes)]
 
 
+
+
+def _placement_kernel(n_planes: int, logB: int, nb: int):
+    """Final compaction stage: after the low-bit passes (with freezing),
+    every live cell's residual shift is an exact multiple of the block
+    size, cell positions within blocks are preserved, and each source
+    block's live cells map to at most TWO consecutive destination blocks
+    (their ranks are contiguous).  Each grid step reads its source block
+    and read-modify-writes its two candidate destination blocks in the
+    ANY-space outputs; the sequential grid orders overlapping RMWs and
+    distinct live sources never collide on a destination cell
+    (numpy-validated).
+    """
+    Rb = COMPACT_BLOCK_ROWS
+
+    def kernel(d1_ref, *refs):
+        srcs = [r[:] for r in refs[:n_planes]]
+        s_blk = refs[n_planes][:].astype(jnp.int32)
+        outs = refs[n_planes + 1 : 2 * n_planes + 1]
+        scratch = refs[2 * n_planes + 1 : 3 * n_planes + 1]
+        sems = refs[3 * n_planes + 1]
+        b = pl.program_id(0)
+        rb = s_blk >> logB
+        live = s_blk < STALE_S
+        d1 = d1_ref[b]
+        for j in range(2):
+            d = d1 + j
+
+            @pl.when((d >= 0) & (d < nb))
+            def _():
+                row0 = d * Rb
+                for p in range(n_planes):
+                    pltpu.make_async_copy(
+                        outs[p].at[pl.ds(row0, Rb)], scratch[p], sems.at[p]
+                    ).start()
+                for p in range(n_planes):
+                    pltpu.make_async_copy(
+                        outs[p].at[pl.ds(row0, Rb)], scratch[p], sems.at[p]
+                    ).wait()
+                sel = live & (b - rb == d)
+                for p in range(n_planes):
+                    scratch[p][:] = jnp.where(sel, srcs[p], scratch[p][:])
+                for p in range(n_planes):
+                    pltpu.make_async_copy(
+                        scratch[p], outs[p].at[pl.ds(row0, Rb)], sems.at[p]
+                    ).start()
+                for p in range(n_planes):
+                    pltpu.make_async_copy(
+                        scratch[p], outs[p].at[pl.ds(row0, Rb)], sems.at[p]
+                    ).wait()
+
+    return kernel
+
+
+def _placement_call(planes, s, interpret: bool):
+    """Run the block-placement stage; returns compacted planes (tail
+    garbage past the kept count, callers mask)."""
+    rows = planes[0].shape[0]
+    n = rows * _LANES
+    P = len(planes)
+    Rb = COMPACT_BLOCK_ROWS
+    nb = rows // Rb
+    logB = _log2(Rb * _LANES)
+    rb = jnp.where(s < STALE_S, s >> logB, -1)
+    rbmax = rb.reshape(nb, -1).max(axis=1)
+    d1 = jnp.where(
+        rbmax >= 0, jnp.arange(nb, dtype=jnp.int32) - rbmax, jnp.int32(-2)
+    )
+    blk = pl.BlockSpec(
+        (Rb, _LANES), lambda b, d1_ref: (b, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[blk] * (P + 1),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * P,
+        scratch_shapes=[pltpu.VMEM((Rb, _LANES), U32)] * P
+        + [pltpu.SemaphoreType.DMA((P,))],
+    )
+    outs = pl.pallas_call(
+        _placement_kernel(P, logB, nb),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * P,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(d1, *planes, s)
+    return list(outs)
+
+
 def compact_left_pallas(planes, keep):
     """Pallas-fused monotone-shift compaction (ops.count._compact_left
     semantics): kept elements move to the front stably; tail slots hold
     leftovers the caller must mask.
 
     Pass schedule: bits 0..14 (shift span < one 2^15 block) run as three
-    window kernels of five fused passes each -- one HBM round trip per
-    kernel instead of per pass; higher bits run pair-fused (two passes
-    per kernel via four block views), with a single-pass kernel for an
-    odd last bit.  ~2x less HBM traffic than one kernel per pass.
+    window kernels of five fused passes each with stale-copy freezing --
+    one HBM round trip per kernel instead of per pass -- after which
+    every live cell's residual shift is an exact block multiple, and a
+    single block-placement kernel (source-driven RMW of at most two
+    destination blocks per source) finishes the job.  ~3x less HBM
+    traffic than one kernel per pass.
     """
     n = keep.shape[0]
     rows = n // _LANES
@@ -645,20 +747,17 @@ def compact_left_pallas(planes, keep):
     planes2 = [p.reshape(rows, _LANES) for p in planes]
     s2 = s.reshape(rows, _LANES)
     interpret = jax.default_backend() != "tpu"
-    logn = _log2(n)
     log_blk = _log2(COMPACT_BLOCK_ROWS * _LANES)
+    logn = _log2(n)
     b = 0
     while b < min(log_blk, logn):
         b1 = min(b + 4, min(log_blk, logn) - 1)
-        planes2, s2 = _compact_window_call(planes2, s2, b, b1, interpret)
+        planes2, s2 = _compact_window_call(
+            planes2, s2, b, b1, interpret, freeze=True
+        )
         b = b1 + 1
-    while b < logn:
-        if b + 1 < logn:
-            planes2, s2 = _compact_pair_call(planes2, s2, b, interpret)
-            b += 2
-        else:
-            planes2, s2 = compact_pass_pallas(planes2, s2, 1 << b, interpret)
-            b += 1
+    if logn > log_blk:
+        planes2 = _placement_call(planes2, s2, interpret)
     return [p.reshape(-1) for p in planes2]
 
 
