@@ -14,8 +14,10 @@ passes on (rows, 128) planes of u32:
   distinct destinations decompose into log2(n) conditional fixed-offset
   passes, LSB-first (collision-freedom validated against a numpy
   oracle).  Bits 0..14 (combined span < one 2^15 block) run as three
-  5-pass window kernels; higher bits run pair-fused via four block
-  views.
+  5-pass window kernels with stale-copy freezing; the remaining bits
+  collapse into ONE source-driven block-placement kernel (residual
+  shifts are exact block multiples, each source block feeds at most two
+  consecutive destination blocks).
 * **Monolithic bitonic sort** (sort_pairs): a full in-VMEM network,
   kept for n <= 2^14 only -- Mosaic compile time scales with unrolled
   stages x sublane rows (2^14 compiles in ~17 s, 2^16 DNF in 10 min),
@@ -405,55 +407,6 @@ COMPACT_BLOCK_ROWS = 256  # 2^15 elements per grid block
 STALE_S = 1 << 30  # frozen stale-copy shift marker (all tested bits clear)
 
 
-def _compact_pass_kernel(n_planes: int, m: int, n: int):
-    """One monotone-shift compaction pass at offset m (see
-    ops.count._compact_left): every slot receives its partner at +m
-    elements iff bit log2(m) of the partner's remaining shift is set.
-
-    Refs: (P+1) self blocks, (P+1) partner-view blocks (the same arrays
-    block-offset via their index maps; clamped blocks are safe because
-    any position whose partner lies past the array is masked by
-    pos + m < n), then (P+1) outputs.  Fusing the shifted read + select
-    of all planes into one kernel removes the per-pass shifted-copy
-    materializations of the XLA path.
-    """
-    Rb = COMPACT_BLOCK_ROWS
-    dr = m // _LANES
-    lane_m = m % _LANES
-    P1 = n_planes + 1
-
-    def kernel(*refs):
-        selfs = [r[:] for r in refs[:P1]]
-        nxts = [r[:] for r in refs[P1 : 2 * P1]]
-        outs = refs[2 * P1 :]
-        if lane_m == 0 and dr % Rb == 0:
-            partners = nxts
-        elif lane_m == 0:
-            partners = [
-                jnp.concatenate([a[dr:], b[:dr]]) for a, b in zip(selfs, nxts)
-            ]
-        else:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-            partners = []
-            for a, b in zip(selfs, nxts):
-                ra = pltpu.roll(a, _LANES - lane_m, 1)
-                rb = pltpu.roll(b[:1], _LANES - lane_m, 1)
-                nxt_row = jnp.concatenate([ra[1:], rb])
-                partners.append(jnp.where(lane < _LANES - lane_m, ra, nxt_row))
-
-        s_part = partners[-1].astype(jnp.int32)
-        i = pl.program_id(0)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (Rb, _LANES), 0)
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (Rb, _LANES), 1)
-        pos = (i * Rb + r_iota) * _LANES + l_iota
-        recv = ((s_part & m) != 0) & (pos + m < n)
-        for j in range(n_planes):
-            outs[j][:] = jnp.where(recv, partners[j], selfs[j])
-        outs[n_planes][:] = jnp.where(recv, s_part - m, selfs[-1].astype(jnp.int32))
-
-    return kernel
-
-
 def _ce_shift(window_planes, m: int, base_pos, n: int, freeze: bool = False):
     """One compaction pass on a row-window: every slot takes its partner
     at +m elements iff bit log2(m) of the partner's shift plane (last
@@ -515,74 +468,6 @@ def _compact_window_kernel(n_planes: int, b0: int, b1: int, n: int, freeze: bool
     return kernel
 
 
-def _compact_pair_kernel(n_planes: int, b: int, p_blocks: int, n: int):
-    """Fused high-bit pass pair (b, b+1): partner distances p and 2p
-    blocks; reads views at {0, p, 2p, 3p} blocks, recomputes pass b for
-    the 0- and 2p-views, then applies pass b+1 -- 5 block r/w units per
-    2 passes instead of 6."""
-    Rb = COMPACT_BLOCK_ROWS
-    P1 = n_planes + 1
-    m1 = 1 << b
-    m2 = m1 * 2
-
-    def ce_blocks(a, c, m, base_pos):
-        s_part = c[-1].astype(jnp.int32)
-        rows = a[0].shape[0]
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-        pos = base_pos + r_iota * _LANES + l_iota
-        recv = ((s_part & m) != 0) & (pos + m < n)
-        out = [jnp.where(recv, q, w) for q, w in zip(c[:-1], a[:-1])]
-        out.append(jnp.where(recv, s_part - m, a[-1].astype(jnp.int32)))
-        return out
-
-    def kernel(*refs):
-        views = [
-            [r[:] for r in refs[v * P1 : (v + 1) * P1]] for v in range(4)
-        ]
-        outs = refs[4 * P1 :]
-        i = pl.program_id(0)
-        blk = Rb * _LANES
-        x0 = ce_blocks(views[0], views[1], m1, i * blk)
-        x2 = ce_blocks(views[2], views[3], m1, (i + 2 * p_blocks) * blk)
-        y = ce_blocks(x0, x2, m2, i * blk)
-        for j in range(P1):
-            outs[j][:] = y[j].astype(outs[j].dtype)
-
-    return kernel
-
-
-def compact_pass_pallas(planes, s, m: int, interpret: bool):
-    """Run one compaction pass on (rows,128)-shaped planes + shift plane."""
-    rows = planes[0].shape[0]
-    n = rows * _LANES
-    n_planes = len(planes)
-    Rb = COMPACT_BLOCK_ROWS
-    nb = rows // Rb
-    dr = m // _LANES
-    doff = min(max(dr // Rb, 1), nb - 1) if m >= _LANES * Rb else 1
-
-    def self_map(i):
-        return (i, 0)
-
-    def partner_map(i):
-        return (jnp.minimum(i + doff, nb - 1), 0)
-
-    blk_self = pl.BlockSpec((Rb, _LANES), self_map, memory_space=pltpu.VMEM)
-    blk_part = pl.BlockSpec((Rb, _LANES), partner_map, memory_space=pltpu.VMEM)
-    args = list(planes) + [s]
-    outs = pl.pallas_call(
-        _compact_pass_kernel(n_planes, m, n),
-        grid=(nb,),
-        in_specs=[blk_self] * (n_planes + 1) + [blk_part] * (n_planes + 1),
-        out_specs=[blk_self] * (n_planes + 1),
-        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * n_planes
-        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)],
-        interpret=interpret,
-    )(*args, *args)
-    return list(outs[:n_planes]), outs[n_planes]
-
-
 def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool, freeze: bool = False):
     rows = planes[0].shape[0]
     n = rows * _LANES
@@ -604,40 +489,6 @@ def _compact_window_call(planes, s, b0: int, b1: int, interpret: bool, freeze: b
         interpret=interpret,
     )(*args, *args)
     return list(outs[: len(planes)]), outs[len(planes)]
-
-
-def _compact_pair_call(planes, s, b: int, interpret: bool):
-    rows = planes[0].shape[0]
-    n = rows * _LANES
-    P1 = len(planes) + 1
-    Rb = COMPACT_BLOCK_ROWS
-    nb = rows // Rb
-    p_blocks = (1 << b) // (Rb * _LANES)
-
-    def view_map(k):
-        return lambda i: (jnp.minimum(i + k * p_blocks, nb - 1), 0)
-
-    specs = []
-    for k in range(4):
-        specs += [
-            pl.BlockSpec((Rb, _LANES), view_map(k), memory_space=pltpu.VMEM)
-        ] * P1
-    args = list(planes) + [s]
-    outs = pl.pallas_call(
-        _compact_pair_kernel(len(planes), b, p_blocks, n),
-        grid=(nb,),
-        in_specs=specs,
-        out_specs=[
-            pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * P1,
-        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), U32)] * len(planes)
-        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)],
-        interpret=interpret,
-    )(*args, *args, *args, *args)
-    return list(outs[: len(planes)]), outs[len(planes)]
-
-
 
 
 def _placement_kernel(n_planes: int, logB: int, nb: int):
