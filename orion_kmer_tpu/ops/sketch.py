@@ -94,11 +94,22 @@ def sketch_batch(codes, invalid, k: int, scaled: int):
 @partial(jax.jit, static_argnames=("k", "scaled"))
 def sketch_packed(lanes, invalid_words, k: int, scaled: int):
     """sketch_batch over the packed wire format (3.2x less transfer,
-    lane-parallel extraction)."""
-    from .kmers_lanes import extract_canonical_lanes
+    lane-parallel extraction).
 
+    On TPU the Pallas extraction kernel feeds the threshold+compaction
+    chain (measured 1.05 -> 1.22 Gbp/s at scaled=1000; unlike the count
+    path there is no downstream sort for XLA to fuse extraction into).
+    """
+    from .kmers_lanes import extract_canonical_lanes
+    from .kmers_pallas import extract_canonical_lanes_pallas
+
+    extractor = (
+        extract_canonical_lanes_pallas
+        if jax.default_backend() == "tpu"
+        else extract_canonical_lanes
+    )
     n_positions = lanes.shape[0] * 16
-    hi, lo, valid = extract_canonical_lanes(lanes, invalid_words, k, n_positions)
+    hi, lo, valid = extractor(lanes, invalid_words, k, n_positions)
     hhi, hlo = splitmix64_pair(hi.reshape(-1), lo.reshape(-1))
     return _sketch_from_hashes(hhi, hlo, valid.reshape(-1), scaled)
 
