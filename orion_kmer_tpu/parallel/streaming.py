@@ -27,25 +27,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..ops.kmers import SENTINEL, extract_canonical, join_u64
+from ..ops.kmers import SENTINEL, join_u64
 from .sharded import _owner_of, _shard_blocks
 
 U32 = jnp.uint32
 
 
-def _route_and_sort(codes_blk, invalid_blk, k: int, n_shards: int, cap: int):
-    """Per-device: extract, a2a-route by hash owner, sort received.
+def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
+    """Per-device: extract from the wire format, a2a-route by hash
+    owner, sort received.
 
     Returns (shi, slo, n_valid, overflow): a raw ascending weight-1
     stream of this shard's owned k-mers (SENTINEL-padded) plus the
     psum'd overflow flag.
     """
     from ..ops.count import _compact_left
+    from ..ops.kmers_lanes import extract_canonical_lanes
     from ..ops.sort_pallas import merge_sorted_pairs
 
-    codes_blk = codes_blk.reshape(-1)
-    invalid_blk = invalid_blk.reshape(-1)
-    hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
+    lanes_blk = lanes_blk.reshape(-1)
+    inv_words_blk = inv_words_blk.reshape(-1)
+    block = lanes_blk.shape[0] * 16
+    hi, lo, valid = extract_canonical_lanes(lanes_blk, inv_words_blk, k, block)
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
     b = hi.shape[0]
     hi = jnp.where(valid, hi, SENTINEL)
     lo = jnp.where(valid, lo, SENTINEL)
@@ -124,9 +130,9 @@ class ShardedCountTable:
         k, S = self.k, self.n_shards
         from ..ops.sort_pallas import merge_sorted_streams
 
-        def per_device(codes_blk, invalid_blk, *run_rows):
+        def per_device(lanes_blk, inv_words_blk, *run_rows):
             shi, slo, n_valid, ovf = _route_and_sort(
-                codes_blk, invalid_blk, k, S, cap
+                lanes_blk, inv_words_blk, k, S, cap
             )
             run = (shi, slo, n_valid)
             for i in range(depth):
@@ -142,7 +148,7 @@ class ShardedCountTable:
                 ovf[None],
             )
 
-        in_specs = (P("shard"), P("shard")) + (
+        in_specs = (P("shard", None), P("shard", None)) + (
             P("shard", None),
             P("shard", None),
             P("shard"),
@@ -169,10 +175,23 @@ class ShardedCountTable:
         if invalid is None:
             invalid = codes > 3
         S = self.n_shards
-        blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, self.k, S)
-        sharding = NamedSharding(self.mesh, P("shard"))
-        d_codes = jax.device_put(blk_codes, sharding)
-        d_invalid = jax.device_put(blk_invalid, sharding)
+        blk_codes, _blk_invalid, block = _shard_blocks(codes, invalid, self.k, S)
+        # ship the 0.3125 byte/base wire format, packed per shard by the
+        # native C packer (3.2x less host->device traffic than bytes)
+        from ..engine import pack_for_transfer
+
+        block = -(-block // 32) * 32  # wire packing needs 32-multiples
+        lanes = np.empty((S, block // 16), dtype=np.uint32)
+        inv_words = np.empty((S, block // 32), dtype=np.uint32)
+        blk_codes = blk_codes.reshape(S, -1)
+        for s in range(S):
+            row = np.where(_blk_invalid.reshape(S, -1)[s], 255, blk_codes[s]).astype(
+                np.uint8
+            )
+            lanes[s], inv_words[s] = pack_for_transfer(row, block)
+        sharding = NamedSharding(self.mesh, P("shard", None))
+        d_codes = jax.device_put(lanes, sharding)
+        d_invalid = jax.device_put(inv_words, sharding)
 
         factor = self.capacity_factor
         while True:
