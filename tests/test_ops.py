@@ -229,3 +229,26 @@ def test_membership_sorted_matches_membership():
     np.testing.assert_array_equal(a[:nq], exp)
     np.testing.assert_array_equal(b[:nq], exp)
     assert not a[nq:].any() and not b[nq:].any()
+
+
+def test_membership_pow2_total_merge_path():
+    """nq + nd a power of two engages the Pallas bitonic-merge join
+    (interpret mode off-TPU); results must match the numpy oracle."""
+    rng = np.random.default_rng(88)
+    qs = ds = 1 << 13  # total 2^14: merge path active
+    nq, nd = 7000, 6000
+    qv = rng.integers(0, 1 << 16, nq).astype(np.uint64)
+    dv = np.unique(rng.integers(0, 1 << 16, nd).astype(np.uint64))
+    nd = len(dv)
+    qh = np.zeros(qs, np.uint32); ql = np.zeros(qs, np.uint32)
+    qh[:nq] = (qv >> 32).astype(np.uint32); ql[:nq] = qv.astype(np.uint32)
+    qvalid = np.arange(qs) < nq
+    dh = np.zeros(ds, np.uint32); dl = np.zeros(ds, np.uint32)
+    dh[:nd] = (dv >> 32).astype(np.uint32); dl[:nd] = dv.astype(np.uint32)
+    dvalid = np.arange(ds) < nd
+    got = np.asarray(ops_setops.membership(
+        jnp.asarray(qh), jnp.asarray(ql), jnp.asarray(qvalid),
+        jnp.asarray(dh), jnp.asarray(dl), jnp.asarray(dvalid)))
+    exp = np.isin(qv, dv)
+    np.testing.assert_array_equal(got[:nq], exp)
+    assert not got[nq:].any()
