@@ -107,8 +107,13 @@ class ShardedCountTable:
 
     The distributed analog of engine.DeviceCountTable: call update() per
     host batch, result() once.  Per-shard state is a dict of
-    capacity -> (hi [S, cap], lo [S, cap], n [S]) sharded runs.
+    capacity -> (hi [S, cap], lo [S, cap], n [S]) sharded runs.  Raw
+    streams flush to the host accumulator every FLUSH_WINDOWS positions,
+    bounding device memory and int32 counts exactly as the single-chip
+    table does.
     """
+
+    FLUSH_WINDOWS = 1 << 28
 
     def __init__(self, k: int, mesh: Mesh | None = None, capacity_factor: float = 2.0):
         from .mesh import make_mesh
@@ -121,6 +126,7 @@ class ShardedCountTable:
         self._vals: list[np.ndarray] = []
         self._cnts: list[np.ndarray] = []
         self._chain_cache: dict = {}
+        self._windows_since_flush = 0
 
     def _chain_fn(self, cap: int, depth: int, factor: float):
         key = (cap, depth, factor)
@@ -211,6 +217,9 @@ class ShardedCountTable:
                 for rc in chain_caps:
                     self._runs.pop(rc)
                 self._runs[c] = (hi, lo, n)
+                self._windows_since_flush += codes.shape[0]
+                if self._windows_since_flush >= self.FLUSH_WINDOWS:
+                    self.flush()
                 return
             if factor >= S:  # cap == block: overflow is impossible
                 raise AssertionError("a2a overflow at full capacity")
@@ -250,6 +259,7 @@ class ShardedCountTable:
                     self._vals.append(join_u64(uhi[s, :m], ulo[s, :m]))
                     self._cnts.append(ucnt[s, :m].astype(np.int64))
         self._runs = {}
+        self._windows_since_flush = 0
 
     def result(self) -> tuple[np.ndarray, np.ndarray]:
         """Final (vals uint64, counts int64), globally value-sorted.

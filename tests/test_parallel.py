@@ -175,3 +175,25 @@ def test_streaming_overflow_retry_is_exact():
     ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
     np.testing.assert_array_equal(vals, ev)
     np.testing.assert_array_equal(cnts, ec)
+
+
+def test_streaming_auto_flush(monkeypatch):
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+    from orion_kmer_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(ShardedCountTable, "FLUSH_WINDOWS", 5000)
+    rng = np.random.default_rng(9)
+    k = 11
+    t = ShardedCountTable(k, mesh=make_mesh(n_devices=4))
+    parts = []
+    for _ in range(4):  # 4 x 4000 positions -> several auto-flushes
+        codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+        t.update(codes)
+        parts.append(codes)
+        parts.append(np.full(k - 1, 255, dtype=np.uint8))
+    assert t._windows_since_flush < 5000  # flush actually happened
+    vals, cnts = t.result()
+    ev, ec = np.unique(codec.extract_kmers_np(np.concatenate(parts), k), return_counts=True)
+    np.testing.assert_array_equal(vals, ev)
+    np.testing.assert_array_equal(cnts, ec)
