@@ -122,7 +122,7 @@ def main() -> None:
     @jax.jit
     def sketch_step(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
-        h, l, c, nu = sketch_packed(lanes, inv, K, 1000)
+        h, l, c, nu, _ovf = sketch_packed(lanes, inv, K, 1000)
         return (
             jnp.sum(h, dtype=jnp.uint32) ^ jnp.sum(c.astype(jnp.uint32))
         ).astype(jnp.int32) + nu

@@ -41,9 +41,15 @@ def sketch_file(path, k: int, scaled: int, num: int = 0):
         n = batch.codes.shape[0]
         size = _bucket(n)
         lanes, inv_words = pack_for_transfer(batch.codes, size)
-        uhi, ulo, cnt, nu = sketch_packed(
+        uhi, ulo, cnt, nu, ovf = sketch_packed(
             jnp.asarray(lanes), jnp.asarray(inv_words), k, scaled
         )
+        if int(ovf):
+            # duplicate-heavy batch overflowed the sparse survivor
+            # buffer: recover exactly via the dense (full-sort) path
+            uhi, ulo, cnt, nu, _ = sketch_packed(
+                jnp.asarray(lanes), jnp.asarray(inv_words), k, scaled, dense=True
+            )
         nu = int(nu)
         acc.add(join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu]), np.asarray(cnt)[:nu])
     hashes, abund = acc.result()

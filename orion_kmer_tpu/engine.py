@@ -431,8 +431,11 @@ def unique_from_file(path, k: int) -> np.ndarray:
 
 
 def _query_db_device(db_vals: np.ndarray):
+    from .ops.setops import check_db_sorted
+
     dbh, dbl = split_u64(db_vals)
     db_n = dbh.shape[0]
+    check_db_sorted(dbh, dbl, np.ones(db_n, dtype=bool))
     db_size = _bucket(db_n, minimum=1)
     db_hi = jax.device_put(jnp.asarray(_pad(dbh, db_size, 0)))
     db_lo = jax.device_put(jnp.asarray(_pad(dbl, db_size, 0)))
@@ -609,8 +612,11 @@ def membership_and_depth(
     n = input_vals.shape[0]
     if n == 0 or ref_vals.shape[0] == 0:
         return 0, 0, np.zeros(n, dtype=bool)
+    from .ops.setops import check_db_sorted
+
     qh, ql = split_u64(input_vals)
     rh, rl = split_u64(ref_vals)
+    check_db_sorted(rh, rl, np.ones(ref_vals.shape[0], dtype=bool))
     qs = _bucket(n, minimum=1)
     rs = _bucket(ref_vals.shape[0], minimum=1)
     # input_vals is sorted unique (a count table), so the cheaper

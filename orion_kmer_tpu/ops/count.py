@@ -152,10 +152,16 @@ def sort_canonical_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int
     )
     runs = [(shi[i], slo[i]) for i in range(n_chunks)]
     while len(runs) > 1:
-        runs = [
+        merged = [
             merge_sorted_streams(a[0], a[1], b[0], b[1])
             for a, b in zip(runs[0::2], runs[1::2])
         ]
+        if len(runs) % 2:
+            # odd run count: carry the unpaired trailing run to the next
+            # level (zip truncates; dropping it would silently lose the
+            # whole last chunk whenever n_chunks is not a power of two)
+            merged.append(runs[-1])
+        runs = merged
     return runs[0][0], runs[0][1], n_valid
 
 

@@ -79,13 +79,40 @@ def _db_planes(db_hi, db_lo, db_valid, extra_fills, extra_dtypes):
     return [dh, dl, dflag, *extras]
 
 
+def check_db_sorted(db_hi, db_lo, db_valid) -> None:
+    """Host-side debug check of the membership precondition: the db must
+    be sorted ascending (as a u64) in its valid region.  Enabled with
+    ORION_KMER_DEBUG=1; raises ValueError on violation.
+
+    The merge-join implementations below silently return wrong results
+    for an unsorted db (the old pre-merge implementation sorted
+    internally), so host entry points call this before shipping a db.
+    """
+    import os
+
+    if os.environ.get("ORION_KMER_DEBUG", "0") != "1":
+        return
+    hi = np.asarray(db_hi, dtype=np.uint64)
+    lo = np.asarray(db_lo, dtype=np.uint64)
+    valid = np.asarray(db_valid, dtype=bool)
+    v = ((hi << np.uint64(32)) | lo)[valid]
+    if v.shape[0] > 1 and not np.all(v[1:] >= v[:-1]):
+        raise ValueError(
+            "membership precondition violated: db planes are not sorted "
+            "ascending in the valid region"
+        )
+
+
 @jax.jit
 def membership(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
     """For each query element, is it present in the db set?
 
-    db entries must be unique where db_valid and SORTED ascending in the
-    valid region (count tables and DB dumps are).  Invalid queries/db
-    slots never match.  Returns bool[Nq] aligned with the query order.
+    PRECONDITION: db entries must be unique where db_valid and SORTED
+    ascending (as u64) in the valid region -- count tables and DB dumps
+    are; external callers with raw sets must sort first (the merge-join
+    gives silently wrong answers otherwise; see check_db_sorted for the
+    ORION_KMER_DEBUG=1 runtime check).  Invalid queries/db slots never
+    match.  Returns bool[Nq] aligned with the query order.
     """
     nq = q_hi.shape[0]
     nd = db_hi.shape[0]

@@ -42,31 +42,38 @@ def _sparse_cap(n: int, scaled: int) -> int:
     return cap
 
 
-def _sketch_from_hashes(hhi, hlo, valid, scaled: int):
+def _keep_mask(hhi, hlo, valid, scaled: int):
+    if scaled == 1:
+        return valid  # threshold is the full 2^64 space: keep everything
+    thr_hi, thr_lo = scaled_threshold(scaled)
+    thr_hi = np.uint32(thr_hi)
+    thr_lo = np.uint32(thr_lo)
+    return valid & ((hhi < thr_hi) | ((hhi == thr_hi) & (hlo < thr_lo)))
+
+
+def _sketch_from_hashes(hhi, hlo, valid, scaled: int, dense: bool = False):
     """Shared tail: threshold-filter hash pairs, dedupe + count.
 
     For scaled >> 1 only ~n/scaled hashes survive the threshold, so
     sorting the full stream wastes ~scaled x the work: the sparse path
     compacts survivors first (scatter-free monotone-shift compaction),
-    then sorts just the small survivor buffer.  If survivors ever exceed
-    the 8x-headroom capacity (impossible for hash-uniform input, ~2^-40
-    tail), the surplus is dropped and n_unique reports the truncated
-    count -- callers comparing n_kept can detect it.
+    then sorts just the small survivor buffer.  Survivors can exceed the
+    8x-headroom capacity when duplicate k-mers share a hash (a
+    low-complexity repeat with multiplicity > 8n/scaled survives with
+    probability ~1/scaled): the returned ``overflow`` flag is nonzero in
+    that case and the result is truncated -- callers must retry via the
+    exact dense path (``dense=True``), mirroring the a2a overflow-retry
+    pattern.  Returns (uhi, ulo, counts, n_unique, overflow).
     """
     from .count import SENTINEL, _compact_left, _rle_sorted
 
-    if scaled == 1:
-        keep = valid  # threshold is the full 2^64 space: keep everything
-    else:
-        thr_hi, thr_lo = scaled_threshold(scaled)
-        thr_hi = np.uint32(thr_hi)
-        thr_lo = np.uint32(thr_lo)
-        keep = valid & ((hhi < thr_hi) | ((hhi == thr_hi) & (hlo < thr_lo)))
+    keep = _keep_mask(hhi, hlo, valid, scaled)
     n = hhi.shape[0]
     cap = _sparse_cap(n, scaled)
-    if cap >= n:
-        return count_kmers(hhi, hlo, keep)
+    if dense or cap >= n:
+        return count_kmers(hhi, hlo, keep) + (jnp.int32(0),)
     n_kept = keep.astype(jnp.int32).sum()
+    overflow = (n_kept > cap).astype(jnp.int32)
     mhi = jnp.where(keep, hhi, SENTINEL)
     mlo = jnp.where(keep, hlo, SENTINEL)
     chi, clo = _compact_left([mhi, mlo], keep)
@@ -76,23 +83,25 @@ def _sketch_from_hashes(hhi, hlo, valid, scaled: int):
     chi = jnp.where(idx < n_kept, chi, SENTINEL)[:cap]
     clo = jnp.where(idx < n_kept, clo, SENTINEL)[:cap]
     shi, slo = jax.lax.sort((chi, clo), num_keys=2)
-    return _rle_sorted(shi, slo, jnp.minimum(n_kept, cap))
+    return _rle_sorted(shi, slo, jnp.minimum(n_kept, cap)) + (overflow,)
 
 
-@partial(jax.jit, static_argnames=("k", "scaled"))
-def sketch_batch(codes, invalid, k: int, scaled: int):
+@partial(jax.jit, static_argnames=("k", "scaled", "dense"))
+def sketch_batch(codes, invalid, k: int, scaled: int, dense: bool = False):
     """Extract canonical k-mers, hash, keep h < 2^64/scaled, dedupe+count.
 
-    Returns (uhash_hi, uhash_lo, counts, n_unique): sorted unique KEPT
-    hash values with their abundances.
+    Returns (uhash_hi, uhash_lo, counts, n_unique, overflow): sorted
+    unique KEPT hash values with their abundances.  A nonzero overflow
+    means the sparse survivor buffer truncated (duplicate-heavy input);
+    retry with dense=True for the exact result.
     """
     hi, lo, valid = extract_canonical(codes, invalid, k)
     hhi, hlo = splitmix64_pair(hi, lo)
-    return _sketch_from_hashes(hhi, hlo, valid, scaled)
+    return _sketch_from_hashes(hhi, hlo, valid, scaled, dense=dense)
 
 
-@partial(jax.jit, static_argnames=("k", "scaled"))
-def sketch_packed(lanes, invalid_words, k: int, scaled: int):
+@partial(jax.jit, static_argnames=("k", "scaled", "dense"))
+def sketch_packed(lanes, invalid_words, k: int, scaled: int, dense: bool = False):
     """sketch_batch over the packed wire format (3.2x less transfer,
     lane-parallel extraction).
 
@@ -111,7 +120,7 @@ def sketch_packed(lanes, invalid_words, k: int, scaled: int):
     n_positions = lanes.shape[0] * 16
     hi, lo, valid = extractor(lanes, invalid_words, k, n_positions)
     hhi, hlo = splitmix64_pair(hi.reshape(-1), lo.reshape(-1))
-    return _sketch_from_hashes(hhi, hlo, valid.reshape(-1), scaled)
+    return _sketch_from_hashes(hhi, hlo, valid.reshape(-1), scaled, dense=dense)
 
 
 def sketch_compare(a: np.ndarray, b: np.ndarray) -> dict:

@@ -252,3 +252,42 @@ def test_membership_pow2_total_merge_path():
     exp = np.isin(qv, dv)
     np.testing.assert_array_equal(got[:nq], exp)
     assert not got[nq:].any()
+
+
+def test_merge_tree_odd_chunk_count(monkeypatch):
+    """Regression (ADVICE round 1): the merge tree dropped the unpaired
+    trailing run whenever the run count at a level was odd, silently
+    losing a third of the k-mers at n_chunks=3."""
+    from orion_kmer_tpu.engine import pack_for_transfer
+
+    monkeypatch.setattr(ops_count, "CHUNK_POSITIONS", 1 << 10)
+    rng = np.random.default_rng(7)
+    n = 3 << 10  # 3 chunks: odd at the first merge level
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    codes[rng.random(n) < 0.01] = 255
+    lanes, inv = pack_for_transfer(codes, n)
+    k = 11
+    shi, slo, nv = ops_count.sort_canonical_packed(
+        jnp.asarray(lanes), jnp.asarray(inv), k
+    )
+    nv = int(nv)
+    ref = np.sort(codec.extract_kmers_np(codes, k, canonical=True))
+    assert nv == ref.shape[0]
+    got = ops_kmers.join_u64(np.asarray(shi)[:nv], np.asarray(slo)[:nv])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_check_db_sorted_debug_mode(monkeypatch):
+    """ADVICE round 1: unsorted db planes must fail loudly under
+    ORION_KMER_DEBUG=1 instead of returning silently wrong membership."""
+    monkeypatch.setenv("ORION_KMER_DEBUG", "1")
+    hi = np.array([2, 1], dtype=np.uint32)
+    lo = np.array([0, 0], dtype=np.uint32)
+    valid = np.array([True, True])
+    with pytest.raises(ValueError, match="not sorted"):
+        ops_setops.check_db_sorted(hi, lo, valid)
+    # sorted db passes
+    ops_setops.check_db_sorted(hi[::-1].copy(), lo, valid)
+    # disabled by default
+    monkeypatch.setenv("ORION_KMER_DEBUG", "0")
+    ops_setops.check_db_sorted(hi, lo, valid)

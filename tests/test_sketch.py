@@ -23,7 +23,7 @@ def test_sketch_batch_matches_oracle():
     seq = rng.choice(list(b"ACGT"), size=20000).astype(np.uint8).tobytes()
     codes, invalid = _codes(seq)
     k, scaled = 21, 50
-    uhi, ulo, cnt, nu = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
+    uhi, ulo, cnt, nu, _ = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
     nu = int(nu)
     got = join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu])
     kmers = codec.extract_kmers_np(codes, k)
@@ -35,7 +35,7 @@ def test_sketch_abundances_are_kmer_multiplicities():
     seq = b"ACGTACGTACGT" * 10
     codes, invalid = _codes(seq)
     k, scaled = 4, 1  # scaled=1 keeps everything
-    uhi, ulo, cnt, nu = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
+    uhi, ulo, cnt, nu, _ = sketch_batch(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
     nu = int(nu)
     kmers = codec.extract_kmers_np(codes, k)
     vals, counts = np.unique(kmers, return_counts=True)
@@ -109,16 +109,51 @@ def test_sketch_packed_matches_sketch_batch():
     codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     codes[rng.random(n) < 0.01] = 255
     k, scaled = 21, 8
-    ehi, elo, ecnt, enu = sketch_batch(
+    ehi, elo, ecnt, enu, _ = sketch_batch(
         jnp.asarray(np.where(codes > 3, 0, codes)),
         jnp.asarray(codes > 3),
         k,
         scaled,
     )
     lanes, inv = pack_for_transfer(codes, n)
-    ghi, glo, gcnt, gnu = sketch_packed(jnp.asarray(lanes), jnp.asarray(inv), k, scaled)
+    ghi, glo, gcnt, gnu, _ = sketch_packed(jnp.asarray(lanes), jnp.asarray(inv), k, scaled)
     enu, gnu = int(enu), int(gnu)
     assert enu == gnu
     np.testing.assert_array_equal(np.asarray(ghi)[:gnu], np.asarray(ehi)[:enu])
     np.testing.assert_array_equal(np.asarray(glo)[:gnu], np.asarray(elo)[:enu])
     np.testing.assert_array_equal(np.asarray(gcnt)[:gnu], np.asarray(ecnt)[:enu])
+
+
+def test_sketch_sparse_overflow_flag_and_dense_recovery():
+    """Regression (ADVICE round 1): a low-complexity repeat whose
+    multiplicity exceeds the 8x sparse headroom must raise the overflow
+    flag, and the dense retry must be exact (the reference FracMinHash
+    is exact for any input)."""
+    from orion_kmer_tpu.ops.sketch import sketch_batch as sb
+
+    n = 1 << 17
+    scaled = 64
+    # period-4 repeat chosen so one canonical k-mer hash survives the
+    # threshold: its multiplicity (~n/4) then far exceeds cap = 8n/scaled
+    codes = np.tile(np.array([0, 1, 0, 3], dtype=np.uint8), n // 4)
+    invalid = codes > 3
+    k = 4
+    uhi, ulo, cnt, nu, ovf = sb(jnp.asarray(codes), jnp.asarray(invalid), k, scaled)
+    assert int(ovf) == 1  # sparse path truncated and reported it
+    dhi, dlo, dcnt, dnu, dovf = sb(
+        jnp.asarray(codes), jnp.asarray(invalid), k, scaled, dense=True
+    )
+    assert int(dovf) == 0
+    kmers = codec.extract_kmers_np(codes, k)
+    exp = sketch_np(kmers, scaled)
+    dnu = int(dnu)
+    got = join_u64(np.asarray(dhi)[:dnu], np.asarray(dlo)[:dnu])
+    np.testing.assert_array_equal(got, exp)
+    # abundances exact on the dense path
+    vals, counts = np.unique(kmers, return_counts=True)
+    h = splitmix64_np(vals)
+    thr = np.uint64((1 << 64) // scaled)
+    keep = h < thr
+    hk, ck = h[keep], counts[keep]
+    order = np.argsort(hk)
+    np.testing.assert_array_equal(np.asarray(dcnt)[:dnu], ck[order])
