@@ -25,7 +25,7 @@ import logging
 import numpy as np
 
 from ..db import KmerDb
-from ..engine import count_file, membership_and_depth
+from ..engine import ClassifyJoiner, count_file
 from ..errors import (
     ContextError,
     GenericError,
@@ -129,8 +129,15 @@ def classify_against_databases(
 
     ``databases`` is a list of (path_str, KmerDb).  Reused by the
     multi-sample profile command.
+
+    The per-reference probe loop of the reference (classify.rs:224-236)
+    is batched: all references of a database are concatenated (chunked
+    at ClassifyJoiner.MAX_JOIN k-mers) and joined against the input
+    table in O(1) device dispatches per DB -- the input table itself is
+    shipped to the device once for the whole run.
     """
     total_unique_input = int(input_vals.shape[0])
+    joiner = ClassifyJoiner(input_vals, input_counts)
     db_results = []
     for db_path_str, db in databases:
         if pb is not None:
@@ -138,15 +145,36 @@ def classify_against_databases(
         overall_mask = np.zeros(total_unique_input, dtype=bool)
         per_ref = []
         # sorted order: deterministic superset of the reference
-        for ref_name in sorted(db.references):
-            ref_kmers = db.references[ref_name]
-            n_matched, sum_depth, mask = membership_and_depth(
-                input_vals, input_counts, ref_kmers
+        names = sorted(db.references)
+        chunks: list[list[str]] = []
+        cur: list[str] = []
+        cur_size = 0
+        for nm in names:
+            sz = int(db.references[nm].shape[0])
+            if cur and cur_size + sz > ClassifyJoiner.MAX_JOIN:
+                chunks.append(cur)
+                cur, cur_size = [], 0
+            cur.append(nm)
+            cur_size += sz
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            segs = [db.references[nm] for nm in chunk]
+            offs = np.cumsum([0] + [s.shape[0] for s in segs])
+            concat = (
+                np.concatenate(segs) if segs else np.empty(0, np.uint64)
             )
-            overall_mask |= mask
-            total_in_ref = int(ref_kmers.shape[0])
-            breadth = (n_matched / total_in_ref) if total_in_ref else 0.0
-            if breadth >= min_coverage:  # classify.rs:247
+            member_q, member_db = joiner.join(concat)
+            overall_mask |= member_db
+            for i, ref_name in enumerate(chunk):
+                seg = slice(int(offs[i]), int(offs[i + 1]))
+                m = member_q[seg]
+                n_matched = int(m.sum())
+                sum_depth = joiner.depth_of(concat[seg][m])
+                total_in_ref = int(offs[i + 1] - offs[i])
+                breadth = (n_matched / total_in_ref) if total_in_ref else 0.0
+                if breadth < min_coverage:  # classify.rs:247
+                    continue
                 per_ref.append(
                     {
                         "reference_name": ref_name,

@@ -31,7 +31,7 @@ enable_persistent_cache()
 from .ingest.fastx import Record, parse_fastx_file
 from .ops.count import count_kmers, hits_per_read
 from .ops.kmers import extract_canonical, join_u64, split_u64
-from .ops.setops import membership, membership_sorted
+from .ops.setops import membership
 
 # Positions per device batch.  TPU batches are large to amortize dispatch;
 # CPU (tests) round down hard via bucketing anyway.
@@ -599,40 +599,74 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions
     ]
 
 
-def membership_and_depth(
-    input_vals: np.ndarray,
-    input_counts: np.ndarray,
-    ref_vals: np.ndarray,
-) -> tuple[int, int, np.ndarray]:
-    """classify helper: how many unique input k-mers hit the reference
-    set, and their summed input depth (classify.rs:230-236).
+class ClassifyJoiner:
+    """Batched classify joins of reference sets against ONE input count
+    table (classify.rs:224-236, all references of a DB in one dispatch).
 
-    Returns (n_matched, sum_depth, member_mask over input_vals).
+    The input table is padded + shipped to the device ONCE at
+    construction; each join() call takes the concatenated k-mers of many
+    references and runs ops.setops.classify_join -- a single merge-join
+    program returning bit-packed membership for every reference k-mer
+    (member_q) and every input k-mer (member_db).  On tunneled TPU hosts
+    this replaces R dispatches x ~28 ms RTT per database with one
+    dispatch + two small bitmask fetches.
+
+    Per-reference depth sums stay host-side and int64-exact: a matched
+    reference k-mer IS an input k-mer, so its count is found with one
+    searchsorted into the (sorted) input table.
     """
-    n = input_vals.shape[0]
-    if n == 0 or ref_vals.shape[0] == 0:
-        return 0, 0, np.zeros(n, dtype=bool)
-    from .ops.setops import check_db_sorted
 
-    qh, ql = split_u64(input_vals)
-    rh, rl = split_u64(ref_vals)
-    check_db_sorted(rh, rl, np.ones(ref_vals.shape[0], dtype=bool))
-    qs = _bucket(n, minimum=1)
-    rs = _bucket(ref_vals.shape[0], minimum=1)
-    # input_vals is sorted unique (a count table), so the cheaper
-    # compaction-aligned join applies
-    member = membership_sorted(
-        jnp.asarray(_pad(qh, qs, 0)),
-        jnp.asarray(_pad(ql, qs, 0)),
-        jnp.asarray(_pad(np.ones(n, bool), qs, False)),
-        jnp.asarray(_pad(rh, rs, 0)),
-        jnp.asarray(_pad(rl, rs, 0)),
-        jnp.asarray(_pad(np.ones(ref_vals.shape[0], bool), rs, False)),
-    )
-    mask = np.asarray(member)[:n]
-    n_matched = int(mask.sum())
-    sum_depth = int(input_counts[mask].sum())
-    return n_matched, sum_depth, mask
+    # One dispatch covers up to this many concatenated reference k-mers;
+    # larger databases chunk at reference boundaries (still O(refs/2^24)
+    # dispatches, not O(refs)).
+    MAX_JOIN = 1 << 24
+
+    def __init__(self, input_vals: np.ndarray, input_counts: np.ndarray):
+        self.vals = input_vals
+        self.counts = input_counts
+        self._n = int(input_vals.shape[0])
+        if self._n:
+            dh, dl = split_u64(input_vals)
+            size = _bucket(self._n, minimum=_MIN_BUCKET)
+            self._db = (
+                jax.device_put(jnp.asarray(_pad(dh, size, 0))),
+                jax.device_put(jnp.asarray(_pad(dl, size, 0))),
+                jax.device_put(
+                    jnp.asarray(_pad(np.ones(self._n, dtype=bool), size, False))
+                ),
+            )
+
+    def join(self, ref_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """member masks (over ref_vals, over input table) in one dispatch."""
+        from .ops.setops import classify_join
+
+        nq = int(ref_vals.shape[0])
+        if self._n == 0 or nq == 0:
+            return np.zeros(nq, dtype=bool), np.zeros(self._n, dtype=bool)
+        qh, ql = split_u64(ref_vals)
+        qs = _bucket(nq, minimum=_MIN_BUCKET)
+        bits_q, bits_db = classify_join(
+            jnp.asarray(_pad(qh, qs, 0)),
+            jnp.asarray(_pad(ql, qs, 0)),
+            jnp.asarray(_pad(np.ones(nq, dtype=bool), qs, False)),
+            *self._db,
+        )
+        member_q = np.unpackbits(
+            np.asarray(bits_q).view(np.uint8), bitorder="little"
+        )[:nq].astype(bool)
+        member_db = np.unpackbits(
+            np.asarray(bits_db).view(np.uint8), bitorder="little"
+        )[: self._n].astype(bool)
+        return member_q, member_db
+
+    def depth_of(self, matched_vals: np.ndarray) -> int:
+        """Summed input counts of matched k-mers, int64-exact
+        (classify.rs:230-236 sum_depth).  matched_vals must all be
+        present in the input table (they came from a join)."""
+        if matched_vals.shape[0] == 0:
+            return 0
+        idx = np.searchsorted(self.vals, matched_vals)
+        return int(self.counts[idx].sum())
 
 
 def intersection_size_host(a: np.ndarray, b: np.ndarray) -> int:

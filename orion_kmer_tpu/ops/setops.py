@@ -173,6 +173,84 @@ def membership_sorted(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
     return (cmember[:nq] == 1) & q_valid
 
 
+def _pack_bits32(b):
+    """bool[n] (n % 32 == 0) -> little-endian u32[n/32] bitmask."""
+    n = b.shape[0]
+    w = b.reshape(n // 32, 32).astype(U32)
+    shifts = jnp.arange(32, dtype=U32)
+    return (w << shifts).sum(axis=1, dtype=U32)
+
+
+@jax.jit
+def classify_join(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
+    """Batched classify join: ONE merge answers, for every query row,
+    "is it in the db set?" (member_q) and, for every db row, "is it hit
+    by at least one valid query row?" (member_db).
+
+    Queries are the concatenated per-reference k-mer segments of a whole
+    database (classify.rs:224-236 batched: the per-reference probe loop
+    collapses into one device dispatch per DB); the db is the input
+    count table (sorted unique in its valid region -- see
+    check_db_sorted).  Queries need NOT be globally sorted: they are
+    sorted here with a restore key.  Invalid rows on either side never
+    match, including the SENTINEL == T^32 (k=32) collision.
+
+    Returns (member_q u32[Nq/32], member_db u32[Nd/32]), little-endian
+    bit-packed (Nq, Nd must be multiples of 32) -- 8x less host link
+    traffic than bool arrays on tunneled hosts.
+    """
+    nq = q_hi.shape[0]
+    nd = db_hi.shape[0]
+    total = _next_pow2(nq + nd)
+    pad = total - nq - nd
+    big = jnp.uint32(0xFFFFFFFF)
+    qh = jnp.where(q_valid, q_hi, SENTINEL)
+    ql = jnp.where(q_valid, q_lo, SENTINEL)
+    qpos = jnp.arange(nq, dtype=U32)
+    qreal = q_valid.astype(U32)
+    sq = jax.lax.sort((qh, ql, qpos, qreal), num_keys=2)
+    q_planes = [
+        jnp.concatenate([sq[0], jnp.full((pad,), SENTINEL, U32)]),
+        jnp.concatenate([sq[1], jnp.full((pad,), SENTINEL, U32)]),
+        jnp.full((nq + pad,), 1, U32),  # flag: not a valid db row
+        jnp.concatenate([sq[2], jnp.full((pad,), big, U32)]),  # restore pos
+        jnp.concatenate([sq[3], jnp.zeros((pad,), U32)]),  # valid query?
+    ]
+    d_planes = [
+        jnp.where(db_valid, db_hi, SENTINEL),
+        jnp.where(db_valid, db_lo, SENTINEL),
+        jnp.where(db_valid, 0, 1).astype(U32),
+        U32(nq) + jnp.arange(nd, dtype=U32),  # restore pos past queries
+        jnp.zeros((nd,), U32),
+    ]
+    from .sort_pallas import merge_sorted_planes
+
+    shi, slo, sflag, spos, sqreal = merge_sorted_planes(d_planes, q_planes)
+    n = shi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev_hi = jnp.concatenate([jnp.full((1,), SENTINEL, U32), shi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), SENTINEL, U32), slo[:-1]])
+    is_head = ((shi != prev_hi) | (slo != prev_lo)) | (idx == 0)
+    head_pos = jax.lax.cummax(jnp.where(is_head, idx, -1))
+    nh_incl = jax.lax.cummin(jnp.where(is_head, idx, n), reverse=True)
+    next_head_after = jnp.concatenate([nh_incl[1:], jnp.full((1,), n, jnp.int32)])
+    is_db = sflag == 0
+    is_qv = sqreal == 1
+    last_db = jax.lax.cummax(jnp.where(is_db, idx, -1))
+    next_db = jax.lax.cummin(jnp.where(is_db, idx, n), reverse=True)
+    last_qv = jax.lax.cummax(jnp.where(is_qv, idx, -1))
+    next_qv = jax.lax.cummin(jnp.where(is_qv, idx, n), reverse=True)
+    m_q = is_qv & ((last_db >= head_pos) | (next_db < next_head_after))
+    m_db = is_db & ((last_qv >= head_pos) | (next_qv < next_head_after))
+    member = (m_q | m_db).astype(U32)  # disjoint roles
+    # restore: queries carry pos 0..nq-1, db rows nq..nq+nd-1, pads big
+    _, smember = jax.lax.sort((spos, member), num_keys=1)
+    return (
+        _pack_bits32(smember[:nq] == 1),
+        _pack_bits32(smember[nq : nq + nd] == 1),
+    )
+
+
 @jax.jit
 def intersection_size(a_hi, a_lo, a_valid, b_hi, b_lo, b_valid):
     """|A intersect B| for two unique sets (compare.rs:58 semantics)."""

@@ -254,3 +254,38 @@ def test_classify_references_sorted(tmp_path):
     results = run_classify(tmp_path, INPUT_FASTA_BASIC, "in_sorted.fa", [db], k=k)
     names = [r["reference_name"] for r in results["databases_analyzed"][0]["references"]]
     assert names == sorted(names)
+
+
+def test_classify_single_dispatch_per_db(tmp_path, monkeypatch):
+    """VERDICT round 1 #2: classify must run O(1) device joins per DB
+    (all references concatenated), not one per reference."""
+    import numpy as np
+
+    from orion_kmer_tpu import engine
+    from orion_kmer_tpu.ops import setops
+
+    calls = {"n": 0}
+    orig = setops.classify_join
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(setops, "classify_join", counting)
+
+    rng = np.random.default_rng(3)
+    genomes = []
+    for i in range(6):
+        seq = "".join(rng.choice(list("ACGT"), size=400))
+        p = write_file(tmp_path / f"g{i}.fasta", f">g{i}\n{seq}\n")
+        genomes.append(p)
+    db = tmp_path / "many.db"
+    assert run_cli("build", "-k", 11, "-g", *genomes, "-o", db) == 0
+    inp = write_file(
+        tmp_path / "in.fasta",
+        ">r\n" + "".join(rng.choice(list("ACGT"), size=600)) + "\n",
+    )
+    out = tmp_path / "out.json"
+    calls["n"] = 0
+    assert run_cli("classify", "-i", inp, "-d", db, "-o", out) == 0
+    assert calls["n"] == 1, f"expected 1 join dispatch for 6 refs, got {calls['n']}"

@@ -291,3 +291,72 @@ def test_check_db_sorted_debug_mode(monkeypatch):
     # disabled by default
     monkeypatch.setenv("ORION_KMER_DEBUG", "0")
     ops_setops.check_db_sorted(hi, lo, valid)
+
+
+class TestClassifyJoin:
+    def _oracle(self, q, qv, d, dv):
+        dset = set(d[dv].tolist())
+        qset = set(q[qv].tolist())
+        mq = np.array([bool(v) and int(x) in dset for x, v in zip(q, qv)])
+        mdb = np.array([bool(v) and int(x) in qset for x, v in zip(d, dv)])
+        return mq, mdb
+
+    def _run(self, q, qv, d, dv):
+        from orion_kmer_tpu.ops.kmers import split_u64
+
+        qh, ql = split_u64(q)
+        dh, dl = split_u64(d)
+        bits_q, bits_db = ops_setops.classify_join(
+            jnp.asarray(qh), jnp.asarray(ql), jnp.asarray(qv),
+            jnp.asarray(dh), jnp.asarray(dl), jnp.asarray(dv),
+        )
+        mq = np.unpackbits(np.asarray(bits_q).view(np.uint8), bitorder="little")
+        mdb = np.unpackbits(np.asarray(bits_db).view(np.uint8), bitorder="little")
+        return mq[: q.shape[0]].astype(bool), mdb[: d.shape[0]].astype(bool)
+
+    def test_against_numpy_oracle(self):
+        rng = np.random.default_rng(17)
+        nd, nq = 256, 512
+        d = np.unique(rng.integers(0, 1 << 40, size=nd, dtype=np.uint64))
+        d = np.pad(d, (0, nd - d.shape[0]))  # back to nd, keep sorted tail
+        d = np.sort(d)
+        dv = np.ones(nd, dtype=bool)
+        dv[rng.random(nd) < 0.1] = False
+        # queries: unsorted concat of segments, half drawn from the db
+        q = rng.integers(0, 1 << 40, size=nq, dtype=np.uint64)
+        q[: nq // 2] = rng.choice(d, size=nq // 2)
+        rng.shuffle(q)
+        qv = rng.random(nq) < 0.9
+        mq, mdb = self._run(q, qv, d, dv)
+        # oracle treats invalid db rows as absent
+        eq, edb = self._oracle(q, qv, np.where(dv, d, 0), dv)
+        np.testing.assert_array_equal(mq, eq)
+        np.testing.assert_array_equal(mdb, edb)
+
+    def test_sentinel_t32_never_cross_matches(self):
+        ff = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # db holds a REAL T^32; queries: one invalid (sentinel-masked),
+        # one real T^32
+        d = np.array([1, ff], dtype=np.uint64)
+        dv = np.array([True, True])
+        q = np.array([ff, ff, 2], dtype=np.uint64)
+        qv = np.array([False, True, True])
+        # pad to 32-multiples via the public helper contract: classify_join
+        # requires multiples of 32; emulate engine bucketing
+        qp = np.zeros(32, dtype=np.uint64); qp[:3] = q
+        qvp = np.zeros(32, dtype=bool); qvp[:3] = qv
+        dp = np.zeros(32, dtype=np.uint64); dp[:2] = d
+        dvp = np.zeros(32, dtype=bool); dvp[:2] = dv
+        mq, mdb = self._run(qp, qvp, dp, dvp)
+        assert not mq[0]  # invalid query must not match real T^32
+        assert mq[1]  # real T^32 query matches
+        assert not mq[2]
+        assert mdb[1] and not mdb[0]  # T^32 db row hit, '1' row not
+
+    def test_empty_sides(self):
+        q = np.zeros(32, dtype=np.uint64)
+        qv = np.zeros(32, dtype=bool)
+        d = np.zeros(32, dtype=np.uint64)
+        dv = np.zeros(32, dtype=bool)
+        mq, mdb = self._run(q, qv, d, dv)
+        assert not mq.any() and not mdb.any()
