@@ -43,6 +43,7 @@ const Luts kLuts;
 struct Cursor {
     const uint8_t* p;
     const uint8_t* end;
+    bool last_nl = false;  // did the last line end with '\n'?
     bool eof() const { return p >= end; }
     // Returns [line_start, line_end) excluding trailing \r, advances past \n.
     bool next_line(const uint8_t*& s, const uint8_t*& e) {
@@ -52,9 +53,11 @@ struct Cursor {
         if (nl) {
             e = nl;
             p = nl + 1;
+            last_nl = true;
         } else {
             e = end;
             p = end;
+            last_nl = false;
         }
         if (e > s && e[-1] == '\r') --e;
         return true;
@@ -115,16 +118,29 @@ enum {
     OKT_CAPACITY = -4,
 };
 
-// out[0]=n_records, out[1]=codes_len, out[2]=id_len
+// Incremental chunk parse.  With eof=0 the buffer is a chunk of a
+// larger stream: the trailing incomplete record (a FASTA record is only
+// complete when the next '>' or EOF is seen; a FASTQ record when all 4
+// lines are newline-terminated) is ROLLED BACK and out[3] reports the
+// byte offset it starts at, so the caller carries buf[consumed:] into
+// the next chunk.  With eof=1 behavior matches the original whole-file
+// parse (truncation is malformed, emptiness is an error).  This is the
+// streaming contract of the reference's BufRead + per-record loop
+// (orion-kmer utils.rs:125-152, count.rs:63-79): memory stays O(chunk),
+// never O(file).
+//
+// out[0]=n_records, out[1]=codes_len, out[2]=id_len, out[3]=consumed
 long okt_parse_fastx(const uint8_t* data, long len, int normalize, long sep,
-                     uint8_t* codes, long codes_cap, int64_t* rec_code_end,
-                     uint8_t* id_blob, long id_cap, int64_t* id_end,
-                     long max_records, int64_t* out) {
+                     int eof, uint8_t* codes, long codes_cap,
+                     int64_t* rec_code_end, uint8_t* id_blob, long id_cap,
+                     int64_t* id_end, long max_records, int64_t* out) {
+    out[0] = out[1] = out[2] = 0;
+    out[3] = len;
     // skip leading whitespace to find the format marker
     const uint8_t* q = data;
     const uint8_t* qend = data + len;
     while (q < qend && (*q == '\n' || *q == '\r' || *q == ' ' || *q == '\t')) ++q;
-    if (q >= qend) return OKT_EMPTY;
+    if (q >= qend) return eof ? OKT_EMPTY : OKT_OK;
 
     Out o;
     o.codes = codes;
@@ -139,13 +155,19 @@ long okt_parse_fastx(const uint8_t* data, long len, int normalize, long sep,
 
     Cursor cur{q, qend};
     const uint8_t *s, *e;
+    int64_t consumed = len;
 
     if (*q == '>') {
         // FASTA: header lines start records; sequence may span lines.
         bool in_record = false;
+        const uint8_t* rec_start = q;
+        int64_t snap_codes = 0, snap_id = 0;
         while (cur.next_line(s, e)) {
             if (s < e && *s == '>') {
                 if (in_record && !o.end_record()) return OKT_CAPACITY;
+                rec_start = s;
+                snap_codes = o.codes_len;
+                snap_id = o.id_len;
                 if (!o.add_record_id(s + 1, e)) return OKT_CAPACITY;
                 in_record = true;
             } else if (s < e) {
@@ -153,31 +175,65 @@ long okt_parse_fastx(const uint8_t* data, long len, int normalize, long sep,
                 if (!o.add_seq_line(s, e)) return OKT_CAPACITY;
             }
         }
-        if (in_record && !o.end_record()) return OKT_CAPACITY;
+        if (in_record) {
+            if (eof) {
+                if (!o.end_record()) return OKT_CAPACITY;
+            } else {
+                // record may continue in the next chunk: roll it back
+                o.codes_len = snap_codes;
+                o.id_len = snap_id;
+                consumed = rec_start - data;
+            }
+        }
     } else if (*q == '@') {
         // FASTQ: strict 4-line records.
         while (true) {
+            const uint8_t* rec_start = cur.p;
+            int64_t snap_codes = o.codes_len, snap_id = o.id_len;
             if (!cur.next_line(s, e)) break;
-            if (s == e) continue;  // tolerate trailing blank lines
+            if (s == e) continue;  // tolerate blank lines between records
+            bool incomplete = false;
             if (*s != '@') return OKT_MALFORMED;
-            if (!o.add_record_id(s + 1, e)) return OKT_CAPACITY;
-            const uint8_t *ss, *se;
-            if (!cur.next_line(ss, se)) return OKT_MALFORMED;
-            int64_t seq_len = se - ss;
-            if (!o.add_seq_line(ss, se)) return OKT_CAPACITY;
-            if (!cur.next_line(s, e) || s == e || *s != '+') return OKT_MALFORMED;
-            if (!cur.next_line(s, e)) return OKT_MALFORMED;
-            if ((e - s) != seq_len) return OKT_MALFORMED;
-            if (!o.end_record()) return OKT_CAPACITY;
+            if (!cur.last_nl && !eof) {
+                incomplete = true;  // header cut mid-line
+            } else {
+                if (!o.add_record_id(s + 1, e)) return OKT_CAPACITY;
+                const uint8_t *ss, *se;
+                if (!cur.next_line(ss, se) || (!cur.last_nl && !eof)) {
+                    incomplete = true;  // sequence line missing or cut
+                } else {
+                    int64_t seq_len = se - ss;
+                    if (!o.add_seq_line(ss, se)) return OKT_CAPACITY;
+                    if (!cur.next_line(s, e) || (!cur.last_nl && !eof)) {
+                        incomplete = true;  // '+' line missing or cut
+                    } else if (s == e || *s != '+') {
+                        return OKT_MALFORMED;
+                    } else if (!cur.next_line(s, e) || (!cur.last_nl && !eof)) {
+                        incomplete = true;  // quality line missing or cut
+                    } else if ((e - s) != seq_len) {
+                        return OKT_MALFORMED;
+                    } else if (!o.end_record()) {
+                        return OKT_CAPACITY;
+                    }
+                }
+            }
+            if (incomplete) {
+                if (eof) return OKT_MALFORMED;
+                o.codes_len = snap_codes;
+                o.id_len = snap_id;
+                consumed = rec_start - data;
+                break;
+            }
         }
     } else {
         return OKT_UNKNOWN_FORMAT;
     }
 
-    if (o.n_records == 0) return OKT_EMPTY;
+    if (o.n_records == 0 && eof) return OKT_EMPTY;
     out[0] = o.n_records;
     out[1] = o.codes_len;
     out[2] = o.id_len;
+    out[3] = consumed;
     return OKT_OK;
 }
 
@@ -222,6 +278,59 @@ long okt_pack_wire(const uint8_t* codes, long n, long size,
         lanes[2 * w] = lane0;
         lanes[2 * w + 1] = lane1;
         invalid_words[w] = inv;
+    }
+    return OKT_OK;
+}
+
+// Pack S code rows (each `stride` bytes, with a separate invalid-flag
+// byte mask) into S wire-format rows of `size` positions each, in one
+// native pass -- replaces S Python-loop pack_for_transfer calls (plus
+// their np.where masking) in the sharded update path on 1-core hosts.
+// codes[s*stride + j] is position j of shard s; invalid[s*stride + j]
+// nonzero forces the position invalid even when the code is 0..3
+// (block tail padding).  Positions stride..size are padding = invalid.
+long okt_pack_wire_multi(const uint8_t* codes, const uint8_t* invalid,
+                         long n_rows, long stride, long size,
+                         uint32_t* lanes, uint32_t* invalid_words) {
+    if (size % 32 != 0 || stride > size) return OKT_CAPACITY;
+    for (long r = 0; r < n_rows; ++r) {
+        const uint8_t* c = codes + r * stride;
+        const uint8_t* iv = invalid + r * stride;
+        uint32_t* lrow = lanes + r * (size / 16);
+        uint32_t* irow = invalid_words + r * (size / 32);
+        long full_words = stride / 32;
+        for (long w = 0; w < full_words; ++w) {
+            const uint8_t* cc = c + w * 32;
+            const uint8_t* ii = iv + w * 32;
+            uint32_t lane0 = 0, lane1 = 0, inv = 0;
+            for (int j = 0; j < 16; ++j) {
+                uint8_t a = cc[j];
+                uint8_t b = cc[16 + j];
+                uint32_t abad = (a > 3) | (ii[j] != 0);
+                uint32_t bbad = (b > 3) | (ii[16 + j] != 0);
+                lane0 |= (uint32_t)(abad ? 0u : a) << (2 * j);
+                lane1 |= (uint32_t)(bbad ? 0u : b) << (2 * j);
+                inv |= (abad << j) | (bbad << (16 + j));
+            }
+            lrow[2 * w] = lane0;
+            lrow[2 * w + 1] = lane1;
+            irow[w] = inv;
+        }
+        for (long w = full_words; w < size / 32; ++w) {
+            uint32_t lane0 = 0, lane1 = 0, inv = 0;
+            for (int j = 0; j < 32; ++j) {
+                long pos = w * 32 + j;
+                uint8_t v = pos < stride ? c[pos] : INVALID;
+                uint32_t bad = (v > 3) | (pos < stride && iv[pos] != 0);
+                uint32_t code = bad ? 0u : v;
+                if (j < 16) lane0 |= code << (2 * j);
+                else lane1 |= code << (2 * (j - 16));
+                inv |= bad << j;
+            }
+            lrow[2 * w] = lane0;
+            lrow[2 * w + 1] = lane1;
+            irow[w] = inv;
+        }
     }
     return OKT_OK;
 }

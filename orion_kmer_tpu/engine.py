@@ -161,8 +161,12 @@ def _iter_batches_from_packed(
     k: int,
     batch_positions: int,
     with_owner: bool,
+    rid_offset: int = 0,
 ) -> Iterator[PackedBatch]:
-    """Batch a natively-packed code stream with (k-1) halos at splits."""
+    """Batch a natively-packed code stream with (k-1) halos at splits.
+
+    ``rid_offset`` shifts first_rid so record indices stay globally
+    unique when the stream arrives as multiple chunks."""
     n = codes.shape[0]
     invalid = codes == codec.INVALID_CODE
     owner_full = None
@@ -185,6 +189,7 @@ def _iter_batches_from_packed(
             last_rid = int(owner_full[b - 1]) if n else -1
             owner = owner_full[a:b] - np.int32(first_rid)
             rec_ids = ids[first_rid : last_rid + 1]
+            first_rid += rid_offset
         yield PackedBatch(
             codes=sl_codes,
             invalid=invalid[a:b],
@@ -197,6 +202,57 @@ def _iter_batches_from_packed(
         a = b - (k - 1)  # halo: boundary windows produced exactly once
 
 
+# Decompressed bytes pulled per streaming-ingest chunk.  Memory per open
+# stream is O(chunk + largest record), never O(file): the reference
+# streams through BufRead decoders with a per-record loop
+# (utils.rs:125-152, count.rs:63-79) and a ~250 GB decompressed FASTQ
+# must not be materialized.
+CHUNK_BYTES = int(os.environ.get("ORION_KMER_CHUNK_BYTES", str(64 << 20)))
+
+
+def stream_native_chunks(
+    path, k: int, normalize: bool = True, chunk_bytes: int | None = None
+) -> Iterator[tuple[np.ndarray, np.ndarray, list[bytes]]]:
+    """Chunked-decompression -> incremental native parse: yields
+    (codes, rec_ends, ids) tuples of WHOLE records; a record spanning a
+    chunk boundary is carried over (so one yield can exceed chunk_bytes
+    only by the unfinished record's length)."""
+    from .ingest import native
+    from .ingest.compress import open_input
+
+    if chunk_bytes is None:
+        chunk_bytes = CHUNK_BYTES
+    src = str(path)
+    seen = False
+    carry = b""
+    with open_input(path) as f:
+        while True:
+            try:
+                data = f.read(chunk_bytes)
+            except OSError as e:
+                raise ContextError(f"Failed to read input file: {src!r}", e) from e
+            eof = not data
+            buf = carry + data if carry else data
+            if eof and not buf:
+                if seen:
+                    return
+                raise native.NativeParseError(native.OKT_EMPTY, src)
+            try:
+                codes, rec_ends, ids, consumed = native.parse_fastx_chunk(
+                    buf, k, normalize=normalize, eof=eof, source=src
+                )
+            except native.NativeParseError as e:
+                if eof and seen and e.code == native.OKT_EMPTY:
+                    return  # trailing whitespace after real records
+                raise
+            if ids:
+                seen = True
+                yield codes, rec_ends, ids
+            if eof:
+                return
+            carry = buf[consumed:]
+
+
 def stream_file_batches(
     path,
     k: int,
@@ -205,26 +261,25 @@ def stream_file_batches(
     with_owner: bool = False,
 ) -> Iterator[PackedBatch]:
     """File -> PackedBatch stream via the native C++ tokenizer when
-    available (one pass, zero Python per record), else the Python parser."""
+    available (one pass, zero Python per record, O(chunk) memory), else
+    the line-streaming Python parser (O(record) memory)."""
     from .ingest import native
-    from .ingest.compress import read_bytes
     from .ingest.fastx import FastxParseError
 
     if native.available():
         try:
-            data = read_bytes(path)
-            codes, rec_ends, ids = native.parse_fastx_packed(
-                data, k, normalize=normalize, source=str(path)
-            )
+            rid_offset = 0
+            for codes, rec_ends, ids in stream_native_chunks(path, k, normalize):
+                yield from _iter_batches_from_packed(
+                    codes, rec_ends, ids, k, batch_positions, with_owner, rid_offset
+                )
+                rid_offset += len(ids)
         except native.NativeParseError as e:
             raise FastxParseError(str(e)) from e
         except ContextError as e:
             raise FastxParseError(
                 f"Failed to get input reader for file: {path}", e
             ) from e
-        yield from _iter_batches_from_packed(
-            codes, rec_ends, ids, k, batch_positions, with_owner
-        )
     else:
         yield from iter_packed_batches(
             parse_fastx_file(path),
@@ -235,8 +290,42 @@ def stream_file_batches(
         )
 
 
+def _merge_sorted_unique_runs(v1, c1, v2, c2):
+    """Merge two sorted-unique (vals, counts) runs, summing counts of
+    values present in both.  searchsorted-based interleave: O(n log n)
+    comparisons but NO argsort over the concatenation (argsort re-derives
+    the order the runs already have and allocates 3x the data)."""
+    n1, n2 = v1.shape[0], v2.shape[0]
+    if n1 == 0:
+        return v2, c2
+    if n2 == 0:
+        return v1, c1
+    out_v = np.empty(n1 + n2, dtype=v1.dtype)
+    out_c = np.empty(n1 + n2, dtype=np.int64)
+    i1 = np.searchsorted(v2, v1, side="left") + np.arange(n1)
+    i2 = np.searchsorted(v1, v2, side="right") + np.arange(n2)
+    out_v[i1] = v1
+    out_v[i2] = v2
+    out_c[i1] = c1
+    out_c[i2] = c2
+    head = np.empty(n1 + n2, dtype=bool)
+    head[0] = True
+    np.not_equal(out_v[1:], out_v[:-1], out=head[1:])
+    idx = np.flatnonzero(head)
+    if idx.shape[0] == n1 + n2:  # disjoint values: nothing to collapse
+        return out_v, out_c
+    return out_v[idx], np.add.reduceat(out_c, idx)
+
+
 class CountAccumulator:
-    """Merge per-batch sorted (vals, counts) pairs; single final reduce."""
+    """Merge per-flush sorted-unique (vals, counts) runs.
+
+    result() reduces the runs smallest-pair-first with sorted merges
+    (each run is already sorted; a concat+argsort would re-derive known
+    order and peak at ~4x the data -- at config-5 scale that is tens of
+    GB on a 1-core host).  Merged inputs are released immediately, so
+    peak extra memory is ~the final output + the two inputs of the
+    current merge."""
 
     def __init__(self):
         self._vals: list[np.ndarray] = []
@@ -250,17 +339,13 @@ class CountAccumulator:
     def result(self) -> tuple[np.ndarray, np.ndarray]:
         if not self._vals:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
-        if len(self._vals) == 1:
-            return self._vals[0], self._counts[0]
-        vals = np.concatenate(self._vals)
-        counts = np.concatenate(self._counts)
-        order = np.argsort(vals, kind="stable")
-        sv, sc = vals[order], counts[order]
-        head = np.empty(sv.shape[0], dtype=bool)
-        head[0] = True
-        np.not_equal(sv[1:], sv[:-1], out=head[1:])
-        idx = np.flatnonzero(head)
-        return sv[idx], np.add.reduceat(sc, idx)
+        runs = list(zip(self._vals, self._counts))
+        while len(runs) > 1:
+            runs.sort(key=lambda vc: vc[0].shape[0], reverse=True)
+            v2, c2 = runs.pop()
+            v1, c1 = runs.pop()
+            runs.append(_merge_sorted_unique_runs(v1, c1, v2, c2))
+        return runs[0]
 
 
 class DeviceCountTable:
@@ -361,12 +446,17 @@ class DeviceCountTable:
         return self._acc.result()
 
 
-def _prefetch(iterator, depth: int = 2):
+def _prefetch(iterator, depth: int | None = None):
     """Run an iterator on a background thread with a bounded queue so host
-    parse/pack overlaps device compute (PP stage overlap, SURVEY 2.3)."""
+    parse/pack overlaps device compute (PP stage overlap, SURVEY 2.3).
+    Queue depth follows -t/--threads (ORION_KMER_THREADS; min 2)."""
     import queue
     import threading
 
+    if depth is None:
+        from .utils.progress import worker_threads
+
+        depth = max(2, worker_threads(default=2))
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
     err: list[BaseException] = []
@@ -539,63 +629,78 @@ def query_records(
 
 
 def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions: int = DEFAULT_BATCH) -> list[bytes]:
-    """Native-ingest query path: one C pass over the reads file."""
+    """Native-ingest query path: streaming chunked C parse feeding the
+    wire-format query step; memory is O(chunk), never O(reads file)
+    (unlike query.rs:62-67, which reads all reads into RAM)."""
     from .ingest import native
-    from .ingest.compress import read_bytes
     from .ingest.fastx import FastxParseError
 
     if not native.available():
         return query_records(db_vals, parse_fastx_file(path), k, min_hits)
+    db_dev = _query_db_device(db_vals)
+    all_ids: list[bytes] = []
+    all_hits_parts: list[np.ndarray] = []
+    all_lens_parts: list[np.ndarray] = []
+    sep = k - 1
     try:
-        data = read_bytes(path)
-        codes, rec_ends, ids = native.parse_fastx_packed(
-            data, k, normalize=False, source=str(path)
-        )
+        for codes, rec_ends, ids in stream_native_chunks(
+            path, k, normalize=False
+        ):
+            starts = np.concatenate([[0], rec_ends[:-1] + sep])
+            lens = rec_ends - starts
+            region_end = rec_ends + sep  # record region incl. its separator
+            n = codes.shape[0]
+            hits = np.zeros(len(ids), dtype=np.int64)
+            a = 0
+            while n > 0:
+                b = min(a + batch_positions, n)
+                first = int(np.searchsorted(region_end, a, side="right"))
+                last = min(
+                    int(np.searchsorted(region_end, b - 1, side="right")),
+                    len(ids) - 1,
+                )
+                nr = last - first + 1
+                size = _bucket(b - a)
+                lanes, inv_words = pack_for_transfer(codes[a:b], size)
+                nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
+                local_starts = np.maximum(starts[first : last + 1] - a, 0).astype(
+                    np.int32
+                )
+                ls = _pad(local_starts, nr_bucket, size)  # pad = dropped
+                step = np.asarray(
+                    _query_step_packed(
+                        jnp.asarray(lanes),
+                        jnp.asarray(inv_words),
+                        jnp.asarray(ls),
+                        *db_dev,
+                        k,
+                        nr_bucket,
+                        jnp.int32(b - a),
+                    )
+                )
+                hits[first : last + 1] += step[:nr]
+                if b >= n:
+                    break
+                a = b - (k - 1)  # halo: boundary windows produced once
+            all_ids.extend(ids)
+            all_hits_parts.append(hits)
+            all_lens_parts.append(lens)
     except native.NativeParseError as e:
         raise FastxParseError(str(e)) from e
     except ContextError as e:
         raise FastxParseError(
             f"Failed to get input reader for file: {path}", e
         ) from e
-    sep = k - 1
-    starts = np.concatenate([[0], rec_ends[:-1] + sep])
-    lens = rec_ends - starts
-    region_end = rec_ends + sep  # record region incl. its separator
-    db_dev = _query_db_device(db_vals)
-    n = codes.shape[0]
-    all_hits = np.zeros(len(ids), dtype=np.int64)
-    a = 0
-    while n > 0:
-        b = min(a + batch_positions, n)
-        first = int(np.searchsorted(region_end, a, side="right"))
-        last = min(
-            int(np.searchsorted(region_end, b - 1, side="right")), len(ids) - 1
-        )
-        nr = last - first + 1
-        size = _bucket(b - a)
-        lanes, inv_words = pack_for_transfer(codes[a:b], size)
-        nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
-        local_starts = np.maximum(starts[first : last + 1] - a, 0).astype(np.int32)
-        ls = _pad(local_starts, nr_bucket, size)  # pad = out-of-range, dropped
-        hits = np.asarray(
-            _query_step_packed(
-                jnp.asarray(lanes),
-                jnp.asarray(inv_words),
-                jnp.asarray(ls),
-                *db_dev,
-                k,
-                nr_bucket,
-                jnp.int32(b - a),
-            )
-        )
-        all_hits[first : last + 1] += hits[:nr]
-        if b >= n:
-            break
-        a = b - (k - 1)  # halo: boundary windows produced exactly once
+    all_hits = (
+        np.concatenate(all_hits_parts) if all_hits_parts else np.empty(0, np.int64)
+    )
+    all_lens = (
+        np.concatenate(all_lens_parts) if all_lens_parts else np.empty(0, np.int64)
+    )
     return [
-        ids[i]
-        for i in range(len(ids))
-        if all_hits[i] >= min_hits and lens[i] >= k
+        all_ids[i]
+        for i in range(len(all_ids))
+        if all_hits[i] >= min_hits and all_lens[i] >= k
     ]
 
 

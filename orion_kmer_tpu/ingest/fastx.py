@@ -23,7 +23,6 @@ import os
 from typing import Iterator, NamedTuple
 
 from ..errors import ContextError
-from .compress import read_bytes
 
 
 class FastxParseError(ContextError):
@@ -105,13 +104,120 @@ def _parse_fastq(data: bytes, source: str) -> Iterator[Record]:
         i += 4
 
 
+def _stream_records(f, source: str) -> Iterator[Record]:
+    """Line-streaming record parser over an open binary stream: memory is
+    O(record), never O(file) (the streaming analog of parse_fastx_bytes;
+    reference: needletail over BufRead, count.rs:63-79)."""
+    import io
+
+    if not hasattr(f, "readline"):
+        f = io.BufferedReader(f)  # e.g. zstd stream_reader is raw-like
+    with f:
+        it = iter(f.readline, b"")
+        # find the first non-blank line to detect the format
+        first = None
+        lineno = 0
+        for line in it:
+            lineno += 1
+            if _strip_cr(line.rstrip(b"\n")).strip():
+                first = _strip_cr(line.rstrip(b"\n"))
+                break
+        if first is None:
+            raise FastxParseError(
+                f"Failed to parse FASTA/Q content from: {source}: empty input"
+            )
+        if first.startswith(b">"):
+            header = first[1:]
+            chunks: list[bytes] = []
+            for line in it:
+                line = _strip_cr(line.rstrip(b"\n"))
+                if line.startswith(b">"):
+                    yield Record(header, b"".join(chunks))
+                    header = line[1:]
+                    chunks = []
+                elif line:
+                    chunks.append(line)
+            yield Record(header, b"".join(chunks))
+        elif first.startswith(b"@"):
+            head = first
+            while True:
+                seq = f.readline()
+                if not seq:
+                    raise FastxParseError(
+                        f"Failed to parse FASTA/Q content from: {source}: "
+                        f"truncated FASTQ record at line {lineno}"
+                    )
+                seq = _strip_cr(seq.rstrip(b"\n"))
+                plus = f.readline()
+                qual = f.readline()
+                if not plus or not qual:
+                    raise FastxParseError(
+                        f"Failed to parse FASTA/Q content from: {source}: "
+                        f"truncated FASTQ record at line {lineno}"
+                    )
+                plus = _strip_cr(plus.rstrip(b"\n"))
+                qual = _strip_cr(qual.rstrip(b"\n"))
+                if not plus.startswith(b"+"):
+                    raise FastxParseError(
+                        f"Failed to parse FASTA/Q content from: {source}: "
+                        f"missing '+' line at line {lineno + 2}"
+                    )
+                if len(qual) != len(seq):
+                    raise FastxParseError(
+                        f"Failed to parse FASTA/Q content from: {source}: "
+                        f"quality length mismatch at line {lineno + 3}"
+                    )
+                yield Record(head[1:], seq)
+                lineno += 4
+                # next record header (tolerating blank lines)
+                head = None
+                for line in it:
+                    lineno += 1
+                    line = _strip_cr(line.rstrip(b"\n"))
+                    if line.strip():
+                        head = line
+                        break
+                if head is None:
+                    return
+                if not head.startswith(b"@"):
+                    raise FastxParseError(
+                        f"Failed to parse FASTA/Q content from: {source}: "
+                        f"bad FASTQ header at line {lineno}"
+                    )
+        else:
+            raise FastxParseError(
+                f"Failed to parse FASTA/Q content from: {source}: unknown format "
+                f"(expected '>' or '@', got {first[:1]!r})"
+            )
+
+
 def parse_fastx_file(path: str | os.PathLike) -> Iterator[Record]:
-    """Open (decompressing by extension) and parse a FASTA/FASTQ file."""
+    """Open (decompressing by extension) and parse a FASTA/FASTQ file,
+    streaming records with O(record) memory."""
+    from .compress import open_input
+
     path_str = os.fspath(path)
     try:
-        data = read_bytes(path)
+        f = open_input(path)
     except ContextError as e:
         raise FastxParseError(f"Failed to get input reader for file: {path_str}", e) from e
     except OSError as e:
         raise FastxParseError(f"Failed to get input reader for file: {path_str}", e) from e
-    return parse_fastx_bytes(data, source=path_str)
+
+    def gen():
+        import gzip
+        import lzma
+
+        try:
+            yield from _stream_records(f, path_str)
+        except (
+            OSError,
+            EOFError,
+            lzma.LZMAError,
+            gzip.BadGzipFile,
+        ) as e:  # mid-stream decompression errors
+            raise FastxParseError(
+                f"Failed to read input file: {path_str!r}", e
+            ) from e
+
+    return gen()

@@ -83,6 +83,7 @@ def _load():
                 ctypes.c_long,  # len
                 ctypes.c_int,  # normalize
                 ctypes.c_long,  # sep
+                ctypes.c_int,  # eof
                 ctypes.c_void_p,  # codes
                 ctypes.c_long,  # codes_cap
                 ctypes.c_void_p,  # rec_code_end
@@ -96,6 +97,16 @@ def _load():
             lib.okt_pack_wire.argtypes = [
                 ctypes.c_void_p,  # codes
                 ctypes.c_long,  # n
+                ctypes.c_long,  # size
+                ctypes.c_void_p,  # lanes
+                ctypes.c_void_p,  # invalid_words
+            ]
+            lib.okt_pack_wire_multi.restype = ctypes.c_long
+            lib.okt_pack_wire_multi.argtypes = [
+                ctypes.c_void_p,  # codes
+                ctypes.c_void_p,  # invalid
+                ctypes.c_long,  # n_rows
+                ctypes.c_long,  # stride
                 ctypes.c_long,  # size
                 ctypes.c_void_p,  # lanes
                 ctypes.c_void_p,  # invalid_words
@@ -120,20 +131,33 @@ class NativeParseError(ContextError):
         )
 
 
-def parse_fastx_packed(
-    data: bytes, k: int, normalize: bool = True, source: str = "<bytes>"
+def parse_fastx_chunk(
+    data: bytes,
+    k: int,
+    normalize: bool = True,
+    eof: bool = True,
+    source: str = "<bytes>",
 ):
-    """Parse + pack in one native pass.
+    """Incremental parse + pack of one stream chunk in one native pass.
 
-    Returns (codes uint8[N], rec_code_end int64[R], ids list[bytes]):
-    codes holds all records' 2-bit codes separated by k-1 invalid bytes;
-    rec_code_end[i] is the end offset of record i's bases in codes.
+    With eof=False the trailing incomplete record is rolled back and the
+    returned ``consumed`` byte count tells the caller what prefix was
+    parsed (carry ``data[consumed:]`` into the next chunk) -- the
+    streaming contract of the reference's BufRead per-record loop
+    (utils.rs:125-152, count.rs:63-79), keeping memory O(chunk).
+
+    Returns (codes uint8[N], rec_code_end int64[R], ids list[bytes],
+    consumed int): codes holds the complete records' 2-bit codes
+    separated by k-1 invalid bytes; rec_code_end[i] is the end offset of
+    record i's bases in codes.
     """
     lib = _load()
     assert lib is not None, "native ingest not available"
     n = len(data)
     if n == 0:
-        raise NativeParseError(OKT_EMPTY, source)
+        if eof:
+            raise NativeParseError(OKT_EMPTY, source)
+        return np.empty(0, np.uint8), np.empty(0, np.int64), [], 0
     # upper bounds: every byte could be sequence; every 2 bytes a record
     max_records = max(data.count(b"\n>") + data.count(b"\n@") + 2, 4)
     sep = k - 1
@@ -142,12 +166,13 @@ def parse_fastx_packed(
     rec_end = np.empty(max_records, dtype=np.int64)
     id_blob = np.empty(n + 1, dtype=np.uint8)
     id_end = np.empty(max_records, dtype=np.int64)
-    out = np.zeros(3, dtype=np.int64)
+    out = np.zeros(4, dtype=np.int64)
     rc = lib.okt_parse_fastx(
         data,
         n,
         1 if normalize else 0,
         sep,
+        1 if eof else 0,
         codes.ctypes.data_as(ctypes.c_void_p),
         codes_cap,
         rec_end.ctypes.data_as(ctypes.c_void_p),
@@ -164,7 +189,17 @@ def parse_fastx_packed(
     ends = id_end[:n_records]
     starts = np.concatenate([[0], ends[:-1]])
     ids = [ids_bytes[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
-    return codes[:codes_len], rec_end[:n_records].copy(), ids
+    return codes[:codes_len], rec_end[:n_records].copy(), ids, int(out[3])
+
+
+def parse_fastx_packed(
+    data: bytes, k: int, normalize: bool = True, source: str = "<bytes>"
+):
+    """Whole-buffer parse + pack (eof semantics; see parse_fastx_chunk)."""
+    codes, rec_end, ids, _consumed = parse_fastx_chunk(
+        data, k, normalize=normalize, eof=True, source=source
+    )
+    return codes, rec_end, ids
 
 
 def pack_wire(codes: np.ndarray, size: int):

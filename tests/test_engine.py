@@ -194,3 +194,27 @@ def test_device_count_table_across_flushes(monkeypatch):
     ev, ec = np.unique(ref, return_counts=True)
     np.testing.assert_array_equal(vals, ev)
     np.testing.assert_array_equal(cnts, ec)
+
+
+def test_count_accumulator_pairwise_merge_matches_bruteforce():
+    """VERDICT round 1 #10: result() must merge the already-sorted runs
+    (no concat+argsort) and still be exact with duplicates across runs."""
+    from orion_kmer_tpu.engine import CountAccumulator
+
+    rng = np.random.default_rng(31)
+    acc = CountAccumulator()
+    all_v, all_c = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 500))
+        v = np.unique(rng.integers(0, 800, size=n, dtype=np.uint64))
+        c = rng.integers(1, 100, size=v.shape[0]).astype(np.int64)
+        acc.add(v, c)
+        all_v.append(v)
+        all_c.append(c)
+    vals, counts = acc.result()
+    cat_v = np.concatenate(all_v)
+    cat_c = np.concatenate(all_c)
+    exp_v = np.unique(cat_v)
+    exp_c = np.array([cat_c[cat_v == x].sum() for x in exp_v])
+    np.testing.assert_array_equal(vals, exp_v)
+    np.testing.assert_array_equal(counts, exp_c)
