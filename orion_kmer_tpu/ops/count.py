@@ -236,7 +236,17 @@ def count_packed_multi(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
 @partial(jax.jit, static_argnames=("num_reads",))
 def hits_per_read(member: jnp.ndarray, owner: jnp.ndarray, num_reads: int):
     """Sum window-level DB hits per read (query.rs:87-94 multiplicity
-    semantics: every matching window counts, repeats included)."""
-    return jnp.zeros((num_reads,), jnp.int32).at[owner].add(
-        member.astype(jnp.int32), mode="drop"
+    semantics: every matching window counts, repeats included).
+
+    ``owner`` must be sorted ascending (read regions are contiguous in
+    position order -- true for every packed-batch layout here), so the
+    per-read sums are prefix-sum differences at the owner boundaries:
+    scatter-free (an .at[owner].add scatter costs ~9 ms per 1M windows
+    on TPU; this is two cheap num_reads-sized gathers)."""
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(member.astype(jnp.int32))]
     )
+    reads = jnp.arange(num_reads, dtype=owner.dtype)
+    starts = jnp.searchsorted(owner, reads, side="left")
+    ends = jnp.searchsorted(owner, reads, side="right")
+    return prefix[ends] - prefix[starts]

@@ -33,6 +33,42 @@ from .sharded import _owner_of, _shard_blocks
 U32 = jnp.uint32
 
 
+def _pack_blocks(blk_codes: np.ndarray, blk_invalid: np.ndarray, block: int):
+    """Pack S (row, stride) code blocks + invalid masks into wire-format
+    rows of ``block`` positions: one native call for all rows, numpy
+    fallback otherwise."""
+    from ..ingest import native
+
+    S, stride = blk_codes.shape
+    if native.available():
+        import ctypes
+
+        lib = native._load()
+        codes_c = np.ascontiguousarray(blk_codes, dtype=np.uint8)
+        inv_c = np.ascontiguousarray(blk_invalid, dtype=np.uint8)
+        lanes = np.empty((S, block // 16), dtype=np.uint32)
+        inv_words = np.empty((S, block // 32), dtype=np.uint32)
+        rc = lib.okt_pack_wire_multi(
+            codes_c.ctypes.data_as(ctypes.c_void_p),
+            inv_c.ctypes.data_as(ctypes.c_void_p),
+            S,
+            stride,
+            block,
+            lanes.ctypes.data_as(ctypes.c_void_p),
+            inv_words.ctypes.data_as(ctypes.c_void_p),
+        )
+        assert rc == 0, f"okt_pack_wire_multi failed: {rc}"
+        return lanes, inv_words
+    from ..engine import pack_for_transfer
+
+    lanes = np.empty((S, block // 16), dtype=np.uint32)
+    inv_words = np.empty((S, block // 32), dtype=np.uint32)
+    for s in range(S):
+        row = np.where(blk_invalid[s], 255, blk_codes[s]).astype(np.uint8)
+        lanes[s], inv_words[s] = pack_for_transfer(row, block)
+    return lanes, inv_words
+
+
 def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
     """Per-device: extract from the wire format, a2a-route by hash
     owner, sort received.
@@ -181,20 +217,15 @@ class ShardedCountTable:
         if invalid is None:
             invalid = codes > 3
         S = self.n_shards
-        blk_codes, _blk_invalid, block = _shard_blocks(codes, invalid, self.k, S)
-        # ship the 0.3125 byte/base wire format, packed per shard by the
-        # native C packer (3.2x less host->device traffic than bytes)
-        from ..engine import pack_for_transfer
-
-        block = -(-block // 32) * 32  # wire packing needs 32-multiples
-        lanes = np.empty((S, block // 16), dtype=np.uint32)
-        inv_words = np.empty((S, block // 32), dtype=np.uint32)
-        blk_codes = blk_codes.reshape(S, -1)
-        for s in range(S):
-            row = np.where(_blk_invalid.reshape(S, -1)[s], 255, blk_codes[s]).astype(
-                np.uint8
-            )
-            lanes[s], inv_words[s] = pack_for_transfer(row, block)
+        blk_codes, blk_invalid, stride = _shard_blocks(codes, invalid, self.k, S)
+        # ship the 0.3125 byte/base wire format: all S shard rows are
+        # packed in ONE native call (okt_pack_wire_multi) -- the previous
+        # per-shard Python loop (S pack_for_transfer calls + np.where
+        # copies) made the 1-core host the bottleneck at large S
+        block = -(-stride // 32) * 32  # wire packing needs 32-multiples
+        lanes, inv_words = _pack_blocks(
+            blk_codes.reshape(S, -1), blk_invalid.reshape(S, -1), block
+        )
         sharding = NamedSharding(self.mesh, P("shard", None))
         d_codes = jax.device_put(lanes, sharding)
         d_invalid = jax.device_put(inv_words, sharding)
@@ -227,31 +258,43 @@ class ShardedCountTable:
             # sufficient (every window of a block fits one destination)
             factor = min(factor * 4, S)
 
-    def flush(self):
+    def _flush_fn(self, cap: int):
+        """Jitted per-shard RLE for one run capacity, cached so repeated
+        flushes never re-jit (a fresh closure per call made jax.jit miss
+        its cache every flush: ~40 s remote re-compile per flush on
+        tunneled hosts)."""
+        key = ("flush", cap)
+        fn = self._chain_cache.get(key)
+        if fn is not None:
+            return fn
         from ..ops.count import rle_compact
 
+        def per_shard(h, l, nn):
+            uhi, ulo, ucnt, nu = rle_compact(
+                h.reshape(-1), l.reshape(-1), nn.reshape(())
+            )
+            return uhi[None], ulo[None], ucnt[None], nu[None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P("shard", None), P("shard", None), P("shard")),
+                out_specs=(
+                    P("shard", None),
+                    P("shard", None),
+                    P("shard", None),
+                    P("shard"),
+                ),
+            )
+        )
+        self._chain_cache[key] = fn
+        return fn
+
+    def flush(self):
         for cap in sorted(self._runs):
             hi, lo, n = self._runs[cap]
-
-            def per_shard(h, l, nn):
-                uhi, ulo, ucnt, nu = rle_compact(
-                    h.reshape(-1), l.reshape(-1), nn.reshape(())
-                )
-                return uhi[None], ulo[None], ucnt[None], nu[None]
-
-            fn = jax.jit(
-                jax.shard_map(
-                    per_shard,
-                    mesh=self.mesh,
-                    in_specs=(P("shard", None), P("shard", None), P("shard")),
-                    out_specs=(
-                        P("shard", None),
-                        P("shard", None),
-                        P("shard", None),
-                        P("shard"),
-                    ),
-                )
-            )
+            fn = self._flush_fn(cap)
             uhi, ulo, ucnt, nu = map(np.asarray, fn(hi, lo, n))
             for s in range(self.n_shards):
                 m = int(nu[s])

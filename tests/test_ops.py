@@ -360,3 +360,15 @@ class TestClassifyJoin:
         dv = np.zeros(32, dtype=bool)
         mq, mdb = self._run(q, qv, d, dv)
         assert not mq.any() and not mdb.any()
+
+
+def test_hits_per_read_random_sorted_owner():
+    rng = np.random.default_rng(23)
+    n, nr = 5000, 37
+    owner = np.sort(rng.integers(0, nr, size=n)).astype(np.int32)
+    member = rng.random(n) < 0.3
+    hits = np.asarray(
+        ops_count.hits_per_read(jnp.asarray(member), jnp.asarray(owner), 64)
+    )
+    exp = np.bincount(owner, weights=member.astype(np.int64), minlength=64)
+    np.testing.assert_array_equal(hits, exp.astype(np.int64))

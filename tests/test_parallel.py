@@ -197,3 +197,44 @@ def test_streaming_auto_flush(monkeypatch):
     ev, ec = np.unique(codec.extract_kmers_np(np.concatenate(parts), k), return_counts=True)
     np.testing.assert_array_equal(vals, ev)
     np.testing.assert_array_equal(cnts, ec)
+
+
+def test_sharded_flush_jits_once_per_capacity():
+    """VERDICT round 1 #5: flush must compile once per run capacity
+    across a table's lifetime (a fresh closure per flush re-jitted every
+    time: ~40 s per flush on the tunneled TPU)."""
+    from orion_kmer_tpu.parallel.mesh import make_mesh
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+    rng = np.random.default_rng(5)
+    table = ShardedCountTable(7, mesh=make_mesh(n_devices=4))
+    codes = rng.integers(0, 4, size=2048, dtype=np.uint8)
+    table.update(codes)
+    table.flush()
+    flush_keys_1 = [k for k in table._chain_cache if k[0] == "flush"]
+    fn_1 = [table._chain_cache[k] for k in flush_keys_1]
+    table.update(codes)
+    table.flush()
+    flush_keys_2 = [k for k in table._chain_cache if k[0] == "flush"]
+    assert flush_keys_1 == flush_keys_2  # same capacity -> same entry
+    assert [table._chain_cache[k] for k in flush_keys_2] == fn_1  # reused
+
+
+def test_pack_blocks_native_matches_numpy():
+    from orion_kmer_tpu.ingest import native
+    from orion_kmer_tpu.parallel.streaming import _pack_blocks
+    from orion_kmer_tpu.engine import pack_for_transfer
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(8)
+    S, stride = 4, 100
+    block = -(-stride // 32) * 32
+    codes = rng.integers(0, 6, size=(S, stride)).astype(np.uint8)
+    invalid = rng.random((S, stride)) < 0.2
+    lanes, invw = _pack_blocks(codes, invalid, block)
+    for s in range(S):
+        row = np.where(invalid[s], 255, codes[s]).astype(np.uint8)
+        el, ei = pack_for_transfer(row, block)
+        np.testing.assert_array_equal(lanes[s], el)
+        np.testing.assert_array_equal(invw[s], ei)
