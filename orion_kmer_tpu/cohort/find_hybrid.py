@@ -124,11 +124,18 @@ def find_hybrid_samples(
     input_file: str | Path = "data_metagenome.json.gz",
     output_file: str | Path = "hybrid_biosamples.json",
     limit: int | None = None,
-    workers: int = 4,
+    workers: int | None = None,
     client: MetadataClient | None = None,
     batch_size: int = BATCH_SIZE,
 ) -> list[dict]:
-    """End-to-end finder with incremental checkpointing (ref:132-195)."""
+    """End-to-end finder with incremental checkpointing (ref:132-195).
+
+    ``workers`` defaults to -t/--threads (ORION_KMER_THREADS), falling
+    back to the reference's 4 (find_hybrid_samples.py:154)."""
+    if workers is None:
+        from ..utils.progress import worker_threads
+
+        workers = worker_threads(default=4)
     if client is None:
         client = default_client()
     studies = load_studies(input_file)

@@ -24,6 +24,24 @@ def get_num_threads(cli_threads: int) -> int:
     logger.debug("Using %d threads for processing.", n)
     return n
 
+
+def worker_threads(default: int | None = None) -> int:
+    """The resolved host worker-thread count for this process.
+
+    The CLI exports -t via ORION_KMER_THREADS (cli.py; utils.rs:28-33
+    semantics -- the rayon pool analog); library users without the env
+    var get ``default`` (or all logical cores).  Consumed by the ingest
+    prefetch queue (engine._prefetch) and the cohort thread pool
+    (cohort.find_hybrid)."""
+    import os
+
+    v = os.environ.get("ORION_KMER_THREADS")
+    if v is not None and v.isdigit() and int(v) > 0:
+        return int(v)
+    if default is not None:
+        return default
+    return os.cpu_count() or 1
+
 TRACE = 5
 logging.addLevelName(TRACE, "TRACE")
 

@@ -137,3 +137,53 @@ def test_build_checkpoint_resume(tmp_path):
     db = KmerDb.load(db2)
     assert set(db.references) == {"g1.fa", "g2.fa"}
     assert db.references["g1.fa"].shape[0] == 3  # ACGT, CGTA, GTAC
+
+
+def test_threads_flag_sizes_worker_pools(tmp_path, monkeypatch):
+    """VERDICT round 1 #6: -t must actually size worker pools."""
+    import orion_kmer_tpu.cohort.find_hybrid as fh
+    from orion_kmer_tpu.utils.progress import worker_threads
+
+    # CLI main exports ORION_KMER_THREADS from -t
+    monkeypatch.delenv("ORION_KMER_THREADS", raising=False)
+    inp = write_file(tmp_path / "x.fasta", ">r\nACGTACGT\n")
+    out = tmp_path / "o.tsv"
+    assert run_cli("-t", 3, "count", "-k", 3, "-i", inp, "-o", out) == 0
+    import os
+
+    assert os.environ["ORION_KMER_THREADS"] == "3"
+    assert worker_threads() == 3
+
+    # the cohort pool picks it up as its default worker count
+    seen = {}
+    real_tpe = fh.ThreadPoolExecutor
+
+    class SpyTPE(real_tpe):
+        def __init__(self, max_workers=None, **kw):
+            seen["max_workers"] = max_workers
+            super().__init__(max_workers=max_workers, **kw)
+
+    monkeypatch.setattr(fh, "ThreadPoolExecutor", SpyTPE)
+    manifest = tmp_path / "m.json.gz"
+    import gzip as _gzip
+    import json as _json
+
+    rows = [
+        {
+            "study_accession": "PRJ1",
+            "sample_accession": "S1",
+            "run_accession": "R1",
+            "instrument_model": "Illumina HiSeq 2500",
+        }
+    ]
+    manifest.write_bytes(_gzip.compress(_json.dumps(rows).encode()))
+    class NullClient:
+        def sra_metadata(self, accessions, detailed=True):
+            return []
+
+    fh.find_hybrid_samples(
+        input_file=manifest,
+        output_file=tmp_path / "h.json",
+        client=NullClient(),
+    )
+    assert seen["max_workers"] == 3
