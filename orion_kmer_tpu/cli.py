@@ -212,6 +212,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--min-coverage", type=float, default=0.0,
         help="Minimum reference breadth to report (classification mode)",
     )
+
+    # cohort (entrez-tool + hybrid finder CLI drivers)
+    from .commands.cohort import add_cohort_parser
+
+    add_cohort_parser(sub)
     return p
 
 
@@ -219,15 +224,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
 
-    # host worker threads (-t, 0 = all cores; utils.rs:17-25 semantics):
-    # consumed by cohort batch fetchers and the ingest prefetcher
+    # host worker threads (-t, 0 = all cores; utils.rs:17-25 semantics),
+    # consumed via utils.progress.worker_threads by the ingest prefetch
+    # queue (engine._prefetch) and the cohort thread pool
+    # (cohort.find_hybrid.find_hybrid_samples)
     import os
 
     from .utils import get_num_threads
 
     os.environ["ORION_KMER_THREADS"] = str(get_num_threads(args.threads))
 
-    from .commands import build, classify, compare, count, profile, query, sketch
+    from .commands import build, classify, cohort, compare, count, profile, query, sketch
 
     dispatch = {
         "count": count.run_count,
@@ -238,6 +245,7 @@ def main(argv=None) -> int:
         "sketch": sketch.run_sketch,
         "sketch-compare": sketch.run_sketch_compare,
         "profile": profile.run_profile,
+        "cohort": cohort.run_cohort,
     }
     try:
         if args.trace:

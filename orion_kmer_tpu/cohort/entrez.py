@@ -147,6 +147,45 @@ class EntrezQueryTool:
                     sra_ids.extend(linksetdb.get("links", []))
         return sra_ids
 
+    def search_pubmed(self, query: str, retmax: int = 20) -> list[dict]:
+        """esearch + esummary over PubMed -> article dicts.
+
+        The reference uses metapub (entrez_query.py:330-360); this is a
+        pure-eutils redesign with the same output fields (pmid, title,
+        authors, journal, year) so the CLI surface matches without the
+        metapub dependency."""
+        data = self._get_json(
+            "esearch.fcgi",
+            {"db": "pubmed", "term": query, "retmax": str(retmax),
+             "retmode": "json"},
+        )
+        if data is None:
+            return []
+        uids = data.get("esearchresult", {}).get("idlist", [])
+        if not uids:
+            return []
+        summ = self._get_json(
+            "esummary.fcgi",
+            {"db": "pubmed", "id": ",".join(uids), "retmode": "json"},
+        )
+        articles: list[dict] = []
+        result = (summ or {}).get("result", {})
+        for uid in uids:
+            item = result.get(uid)
+            if not item:
+                articles.append({"pmid": uid})
+                continue
+            articles.append(
+                {
+                    "pmid": uid,
+                    "title": item.get("title"),
+                    "authors": [a.get("name") for a in item.get("authors", [])],
+                    "journal": item.get("fulljournalname"),
+                    "year": (item.get("pubdate") or "").split(" ")[0],
+                }
+            )
+        return articles
+
     # --- uid -> accession conversion (ref:270-306) -----------------------
 
     def get_accessions_from_uids(self, uids: list[str]) -> list[str]:
