@@ -31,13 +31,26 @@ from ..utils import track_progress_and_resources
 logger = logging.getLogger("orion_kmer_tpu.sketch")
 
 
-def sketch_file(path, k: int, scaled: int, num: int = 0):
-    """FracMinHash sketch of one FASTA/FASTQ file -> (hashes, abundances)."""
+def sketch_file(path, k: int, scaled: int, num: int = 0, batch_positions: int | None = None):
+    """FracMinHash sketch of one FASTA/FASTQ file -> (hashes, abundances).
+
+    With ``num`` set, the accumulator is periodically consolidated and
+    truncated to the bottom-num distinct hashes: once num smaller hashes
+    exist they persist forever (hashes only accumulate), so a dropped
+    hash can never re-enter the bottom-num -- memory stays O(num)
+    instead of O(all survivors) for num-only sketches (scaled=1)."""
     from ..engine import pack_for_transfer
     from ..ops.sketch import sketch_packed
 
+    if batch_positions is None:
+        from ..engine import DEFAULT_BATCH
+
+        batch_positions = DEFAULT_BATCH
     acc = CountAccumulator()
-    for batch in stream_file_batches(path, k, normalize=True):
+    batches_since_trim = 0
+    for batch in stream_file_batches(
+        path, k, normalize=True, batch_positions=batch_positions
+    ):
         n = batch.codes.shape[0]
         size = _bucket(n)
         lanes, inv_words = pack_for_transfer(batch.codes, size)
@@ -52,6 +65,12 @@ def sketch_file(path, k: int, scaled: int, num: int = 0):
             )
         nu = int(nu)
         acc.add(join_u64(np.asarray(uhi)[:nu], np.asarray(ulo)[:nu]), np.asarray(cnt)[:nu])
+        batches_since_trim += 1
+        if num and batches_since_trim >= 8:
+            h, a = acc.result()
+            acc = CountAccumulator()
+            acc.add(h[:num], a[:num])
+            batches_since_trim = 0
     hashes, abund = acc.result()
     if num and hashes.shape[0] > num:
         # bottom-num MinHash on top of the scaled subsample

@@ -371,7 +371,13 @@ class DeviceCountTable:
 
     def __init__(self, k: int):
         self.k = k
-        # capacity (power of two) -> run tuple (hi, lo, n_dev)
+        # 2k <= 32: the whole canonical k-mer fits one u32 plane
+        # (ops/kmers.py:155-157), so runs carry a single value plane --
+        # half the sort/merge/RLE bandwidth (the sort was ~45% of the
+        # round-1 pipeline).  Run tuple: (lo, n_dev) vs (hi, lo, n_dev).
+        self._single = 2 * k <= 32
+        self._tuple_len = 2 if self._single else 3
+        # capacity (power of two) -> run tuple
         self._runs: dict[int, tuple] = {}
         self._windows_since_flush = 0
         self._acc = CountAccumulator()
@@ -397,17 +403,32 @@ class DeviceCountTable:
         key = (k, depth)
         fn = cls._CHAIN_CACHE.get(key)
         if fn is None:
-            from .ops.count import sort_canonical_packed
-            from .ops.sort_pallas import merge_sorted_streams
+            if 2 * k <= 32:
+                from .ops.count import sort_canonical_packed_single
+                from .ops.sort_pallas import merge_sorted_single
 
-            def chain(lanes, inv_words, *run_arrays):
-                shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, k)
-                run = (shi, slo, n_valid)
-                for i in range(depth):
-                    a_hi, a_lo, a_n = run_arrays[3 * i : 3 * i + 3]
-                    mhi, mlo = merge_sorted_streams(a_hi, a_lo, run[0], run[1])
-                    run = (mhi, mlo, a_n + run[2])
-                return run
+                def chain(lanes, inv_words, *run_arrays):
+                    slo, n_valid = sort_canonical_packed_single(
+                        lanes, inv_words, k
+                    )
+                    run = (slo, n_valid)
+                    for i in range(depth):
+                        a_lo, a_n = run_arrays[2 * i : 2 * i + 2]
+                        run = (merge_sorted_single(a_lo, run[0]), a_n + run[1])
+                    return run
+
+            else:
+                from .ops.count import sort_canonical_packed
+                from .ops.sort_pallas import merge_sorted_streams
+
+                def chain(lanes, inv_words, *run_arrays):
+                    shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, k)
+                    run = (shi, slo, n_valid)
+                    for i in range(depth):
+                        a_hi, a_lo, a_n = run_arrays[3 * i : 3 * i + 3]
+                        mhi, mlo = merge_sorted_streams(a_hi, a_lo, run[0], run[1])
+                        run = (mhi, mlo, a_n + run[2])
+                    return run
 
             fn = jax.jit(chain)
             cls._CHAIN_CACHE[key] = fn
@@ -420,7 +441,7 @@ class DeviceCountTable:
         while cap in self._runs:
             chain_runs.extend(self._runs.pop(cap))
             cap *= 2
-        fn = self._chain_fn(self.k, len(chain_runs) // 3)
+        fn = self._chain_fn(self.k, len(chain_runs) // self._tuple_len)
         run = fn(lanes, inv_words, *chain_runs)
         self._runs[cap] = run
         self._windows_since_flush += n_windows
@@ -428,9 +449,17 @@ class DeviceCountTable:
             self.flush()
 
     def flush(self):
-        from .ops.count import rle_compact
+        from .ops.count import rle_compact, rle_compact_single
 
         for cap in sorted(self._runs):
+            if self._single:
+                lo, n_dev = self._runs[cap]
+                ulo, ucnt, n_u = rle_compact_single(lo, n_dev)
+                n = int(n_u)
+                if n:
+                    vals = np.asarray(ulo[:n]).astype(np.uint64)
+                    self._acc.add(vals, np.asarray(ucnt[:n]).astype(np.int64))
+                continue
             hi, lo, n_dev = self._runs[cap]
             uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
             n = int(n_u)

@@ -165,6 +165,73 @@ def sort_canonical_packed(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int
     return runs[0][0], runs[0][1], n_valid
 
 
+def _rle_sorted_single(slo, n_valid):
+    """Single-plane variant of _rle_sorted for the 2k <= 32 pipeline
+    (the hi plane is identically zero for k <= 16, ops/kmers.py:155-157;
+    carrying it through sort/merge/RLE wastes half the bandwidth)."""
+    n = slo.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    in_prefix = idx < n_valid
+    prev_lo = jnp.concatenate([jnp.full((1,), SENTINEL, U32), slo[:-1]])
+    is_head = ((slo != prev_lo) | (idx == 0)) & in_prefix
+
+    head_pos = jnp.where(is_head, idx, n)
+    next_head_incl = jax.lax.cummin(head_pos, reverse=True)
+    next_head_after = jnp.concatenate(
+        [next_head_incl[1:], jnp.full((1,), n, jnp.int32)]
+    )
+    run_end = jnp.minimum(next_head_after, n_valid)
+    cnt = jnp.where(is_head, run_end - idx, 0)
+
+    ulo, ucnt = _compact_left([slo, cnt], is_head)
+    n_unique = is_head.astype(jnp.int32).sum()
+    tail = idx >= n_unique
+    ulo = jnp.where(tail, SENTINEL, ulo)
+    ucnt = jnp.where(tail, 0, ucnt)
+    return ulo, ucnt, n_unique
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sort_canonical_packed_single(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
+    """2k <= 32 specialization of sort_canonical_packed: the canonical
+    k-mer fits one u32 plane, so the chunk sorts are 1-key and the merge
+    tree carries a single plane -- half the sort bandwidth (~45% of the
+    count pipeline at round 1).  Returns (lo_sorted, n_valid)."""
+    from .kmers_lanes import extract_canonical_lanes
+    from .sort_pallas import merge_sorted_single
+
+    assert 2 * k <= 32, k
+    n_positions = lanes.shape[0] * 16
+    _hi, lo, valid = extract_canonical_lanes(lanes, invalid_words, k, n_positions)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    lo = jnp.where(valid, lo, SENTINEL)
+    n_valid = valid.astype(jnp.int32).sum()
+    if n_positions % CHUNK_POSITIONS != 0 or n_positions <= CHUNK_POSITIONS:
+        (slo,) = jax.lax.sort((lo,), num_keys=1)
+        return slo, n_valid
+
+    n_chunks = n_positions // CHUNK_POSITIONS
+
+    def chunk_body(_, clo):
+        return (), jax.lax.sort((clo,), num_keys=1)[0]
+
+    _, slo = jax.lax.scan(chunk_body, (), lo.reshape(n_chunks, CHUNK_POSITIONS))
+    runs = [slo[i] for i in range(n_chunks)]
+    while len(runs) > 1:
+        merged = [merge_sorted_single(a, b) for a, b in zip(runs[0::2], runs[1::2])]
+        if len(runs) % 2:
+            merged.append(runs[-1])
+        runs = merged
+    return runs[0], n_valid
+
+
+@jax.jit
+def rle_compact_single(slo: jnp.ndarray, n_valid):
+    """Single-plane run-length encode (see rle_compact)."""
+    return _rle_sorted_single(slo, n_valid)
+
+
 def _compact_left(planes, keep: jnp.ndarray, radix_bits: int = 1):
     # radix 1 measured fastest on TPU v5e (114.7/130.8/168.6 ms at 32M x3
     # planes for radix 1/2/3): passes are HBM-bound and the wider-radix

@@ -62,7 +62,16 @@ def _lex_gt(a_hi, a_lo, b_hi, b_lo):
     return (a_hi > b_hi) | ((a_hi == b_hi) & (a_lo > b_lo))
 
 
-def _ce_rows(planes, s: int, desc_mask_fn):
+def _gt(a_planes, b_planes, n_keys):
+    """Key compare over the first n_keys planes (1 = single u32 key,
+    2 = u64 as a (hi, lo) pair).  The single-key form halves every
+    plane's HBM traffic for the 2k <= 32 pipeline specialization."""
+    if n_keys == 1:
+        return a_planes[0] > b_planes[0]
+    return _lex_gt(a_planes[0], a_planes[1], b_planes[0], b_planes[1])
+
+
+def _ce_rows(planes, s: int, desc_mask_fn, n_keys: int = 2):
     """Compare-exchange at row stride s (< R) on (R, 128) planes.
 
     desc_mask_fn(g_iota (G,1,1,1), lane_iota (1,1,1,128)) -> bool mask,
@@ -73,7 +82,7 @@ def _ce_rows(planes, s: int, desc_mask_fn):
     views = [p.reshape(G, 2, s, _LANES) for p in planes]
     a = [v[:, 0] for v in views]  # (G, s, 128), lower logical index
     b = [v[:, 1] for v in views]
-    gt = _lex_gt(a[0], a[1], b[0], b[1])
+    gt = _gt(a, b, n_keys)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANES), 2)
     desc = desc_mask_fn(g_iota, l_iota)
@@ -86,7 +95,7 @@ def _ce_rows(planes, s: int, desc_mask_fn):
     return out
 
 
-def _ce_lanes(planes, e: int, desc_mask_fn):
+def _ce_lanes(planes, e: int, desc_mask_fn, n_keys: int = 2):
     """Compare-exchange at lane stride e (partner lane = lane XOR e).
 
     desc_mask_fn(lane_iota (1,128)) -> bool mask of descending blocks.
@@ -101,7 +110,7 @@ def _ce_lanes(planes, e: int, desc_mask_fn):
         partners.append(jnp.where(is_low, fwd, bwd))
     lo_hi = [jnp.where(is_low, p, q) for p, q in zip(planes, partners)]
     hi_hi = [jnp.where(is_low, q, p) for p, q in zip(planes, partners)]
-    gt = _lex_gt(lo_hi[0], lo_hi[1], hi_hi[0], hi_hi[1])
+    gt = _gt(lo_hi, hi_hi, n_keys)
     desc = desc_mask_fn(l_iota)
     # swap is identical on both lanes of a pair (gt is computed on the
     # same (low, high) values and the direction bit p > j is shared), so
@@ -110,7 +119,7 @@ def _ce_lanes(planes, e: int, desc_mask_fn):
     return [jnp.where(swap, q, p) for p, q in zip(planes, partners)]
 
 
-def _bitonic_stage(planes, p: int, j: int, logR: int):
+def _bitonic_stage(planes, p: int, j: int, logR: int, n_keys: int = 2):
     """One compare-exchange stage: pass p (block 2^p), stride 2^j.
 
     Logical index i = lane * R + row.  Direction: block descending iff
@@ -131,17 +140,17 @@ def _bitonic_stage(planes, p: int, j: int, logR: int):
             def desc(g_iota, l_iota):
                 return ((l_iota >> (p - logR)) & 1) == 1
 
-        return _ce_rows(planes, s, desc)
+        return _ce_rows(planes, s, desc, n_keys)
     else:
         e = s // R  # lane distance
 
         def desc(l_iota):
             return ((l_iota >> (p - logR)) & 1) == 1
 
-        return _ce_lanes(planes, e, desc)
+        return _ce_lanes(planes, e, desc, n_keys)
 
 
-def _sort_kernel(n_planes: int, logn: int, logR: int, merge_only: bool):
+def _sort_kernel(n_planes: int, logn: int, logR: int, merge_only: bool, n_keys: int = 2):
     def kernel(*refs):
         planes = [r[:] for r in refs[:n_planes]]
         outs = refs[n_planes:]
@@ -149,18 +158,18 @@ def _sort_kernel(n_planes: int, logn: int, logR: int, merge_only: bool):
             # input = ascending run ++ reversed ascending run (bitonic);
             # a single merge pass, all ascending
             for j in range(logn - 1, -1, -1):
-                planes = _bitonic_stage(planes, logn, j, logR)
+                planes = _bitonic_stage(planes, logn, j, logR, n_keys)
         else:
             for p in range(1, logn + 1):
                 for j in range(p - 1, -1, -1):
-                    planes = _bitonic_stage(planes, p, j, logR)
+                    planes = _bitonic_stage(planes, p, j, logR, n_keys)
         for o, pl_ in zip(outs, planes):
             o[:] = pl_
 
     return kernel
 
 
-def _run_network(planes, merge_only: bool, interpret: bool):
+def _run_network(planes, merge_only: bool, interpret: bool, n_keys: int = 2):
     n = planes[0].shape[0]
     logn = _log2(n)
     R = n // _LANES
@@ -175,7 +184,7 @@ def _run_network(planes, merge_only: bool, interpret: bool):
         planes2d = [p.reshape(R, _LANES) for p in planes]
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _sort_kernel(len(planes), logn, logR, merge_only),
+        _sort_kernel(len(planes), logn, logR, merge_only, n_keys),
         in_specs=[spec] * len(planes),
         out_specs=[spec] * len(planes),
         out_shape=[jax.ShapeDtypeStruct((R, _LANES), U32)] * len(planes),
@@ -185,7 +194,7 @@ def _run_network(planes, merge_only: bool, interpret: bool):
     return [o.T.reshape(-1) for o in outs]
 
 
-def _ce_xla_asc(planes2d, s: int):
+def _ce_xla_asc(planes2d, s: int, n_keys: int = 2):
     """XLA compare-exchange at element stride s (>= 128), all ascending.
 
     planes2d are (rows, 128) views of the flat sequence (logical index =
@@ -201,7 +210,7 @@ def _ce_xla_asc(planes2d, s: int):
     views = [p.reshape(G, 2, d, _LANES) for p in planes2d]
     a = [v[:, 0] for v in views]
     b = [v[:, 1] for v in views]
-    gt = _lex_gt(a[0], a[1], b[0], b[1])
+    gt = _gt(a, b, n_keys)
     out = []
     for pa, pb in zip(a, b):
         na = jnp.where(gt, pb, pa)
@@ -210,7 +219,7 @@ def _ce_xla_asc(planes2d, s: int):
     return out
 
 
-def _ce_fused_kernel(n_planes: int, n_strides: int, bit_offs, positions):
+def _ce_fused_kernel(n_planes: int, n_strides: int, bit_offs, positions, n_keys: int = 2):
     """Fused ascending compare-exchange for up to 3 merge strides.
 
     2^m views of each plane arrive (BlockSpec-pipelined) at XOR block
@@ -237,7 +246,7 @@ def _ce_fused_kernel(n_planes: int, n_strides: int, bit_offs, positions):
                 if v & step:
                     continue
                 a, b = views[v], views[v + step]
-                gt = _lex_gt(a[0], a[1], b[0], b[1])
+                gt = _gt(a, b, n_keys)
                 views[v] = [jnp.where(gt, q, p) for p, q in zip(a, b)]
                 views[v + step] = [jnp.where(gt, p, q) for p, q in zip(a, b)]
         g = pl.program_id(0)
@@ -266,7 +275,7 @@ def _ce_fused_kernel(n_planes: int, n_strides: int, bit_offs, positions):
     return kernel
 
 
-def _ce_fused_call(planes2d, strides, interpret: bool):
+def _ce_fused_call(planes2d, strides, interpret: bool, n_keys: int = 2):
     """Run up to 3 ascending CE stages in one Pallas kernel.
 
     strides: descending powers of two (elements), each a multiple of
@@ -305,7 +314,7 @@ def _ce_fused_call(planes2d, strides, interpret: bool):
         args += list(planes2d)
     V = 1 << m
     outs = pl.pallas_call(
-        _ce_fused_kernel(n_planes, m, bit_offs, positions),
+        _ce_fused_kernel(n_planes, m, bit_offs, positions, n_keys),
         grid=(nblocks >> m,),
         in_specs=specs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_planes,
@@ -317,7 +326,7 @@ def _ce_fused_call(planes2d, strides, interpret: bool):
     return list(outs)
 
 
-def _merge_tail_kernel(n_planes: int, logB: int):
+def _merge_tail_kernel(n_planes: int, logB: int, n_keys: int = 2):
     """Gridded Pallas kernel: ascending bitonic merge of each block.
 
     Blocks are contiguous flat slices; logical order inside a block is
@@ -336,16 +345,16 @@ def _merge_tail_kernel(n_planes: int, logB: int):
         for j in range(logB - 1, -1, -1):
             s = 1 << j
             if s >= _LANES:
-                planes = _ce_rows(planes, s // _LANES, no_desc_rows)
+                planes = _ce_rows(planes, s // _LANES, no_desc_rows, n_keys)
             else:
-                planes = _ce_lanes(planes, s, no_desc_lanes)
+                planes = _ce_lanes(planes, s, no_desc_lanes, n_keys)
         for o, p in zip(refs[n_planes:], planes):
             o[:] = p
 
     return kernel
 
 
-def _merge_halves(a_planes, b_planes, interpret: bool):
+def _merge_halves(a_planes, b_planes, interpret: bool, n_keys: int = 2):
     """Merge two ascending runs a (len na) and b (len nb), na+nb = 2^m.
 
     Works directly on the bitonic-split recursion: the first stage pairs
@@ -367,7 +376,7 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
     else:
         a2 = [p.reshape(rows // 2, _LANES) for p in a_planes]
         rb = [jnp.flip(p.reshape(rows // 2, _LANES), (0, 1)) for p in b_planes]
-        gt = _lex_gt(a2[0], a2[1], rb[0], rb[1])
+        gt = _gt(a2, rb, n_keys)
         planes2d = [
             jnp.concatenate([jnp.where(gt, q, p), jnp.where(gt, p, q)])
             for p, q in zip(a2, rb)
@@ -386,14 +395,14 @@ def _merge_halves(a_planes, b_planes, interpret: bool):
     while i < len(strides):
         grp = strides[i : i + max_group]
         if len(grp) >= 2:
-            planes2d = _ce_fused_call(planes2d, grp, interpret)
+            planes2d = _ce_fused_call(planes2d, grp, interpret, n_keys)
         else:
-            planes2d = _ce_xla_asc(planes2d, grp[0])
+            planes2d = _ce_xla_asc(planes2d, grp[0], n_keys)
         i += len(grp)
     Rb = B // _LANES
     spec = pl.BlockSpec((Rb, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _merge_tail_kernel(len(planes2d), _log2(B)),
+        _merge_tail_kernel(len(planes2d), _log2(B), n_keys),
         grid=(n // B,),
         in_specs=[spec] * len(planes2d),
         out_specs=[spec] * len(planes2d),
@@ -690,6 +699,22 @@ def merge_sorted_streams(a_hi, a_lo, b_hi, b_lo):
         )
     interpret = jax.default_backend() != "tpu"
     return tuple(_merge_halves([a_hi, a_lo], [b_hi, b_lo], interpret=interpret))
+
+
+@jax.jit
+def merge_sorted_single(a, b):
+    """Merge two ascending-sorted single-u32-plane streams.
+
+    The 2k <= 32 pipeline specialization: one u32 holds the whole
+    canonical k-mer (ops/kmers.py:155-157 -- the hi plane is identically
+    zero for k <= 16), so sorts, merges, and RLE carry HALF the HBM
+    traffic of the (hi, lo) pair path.
+    """
+    n = a.shape[0] + b.shape[0]
+    if not (use_pallas_sort() and _pallas_ok(n, 1 << 62)):
+        return jax.lax.sort((jnp.concatenate([a, b]),), num_keys=1)[0]
+    interpret = jax.default_backend() != "tpu"
+    return _merge_halves([a], [b], interpret=interpret, n_keys=1)[0]
 
 
 @jax.jit

@@ -220,3 +220,51 @@ def test_db_add_reference_overwrites():
     db.add_reference("x", np.array([9], dtype=np.uint64))
     assert db.references["x"].tolist() == [9]
     assert db.total_unique_kmers() == 1
+
+
+def test_db_bincode_layout_multi_ref():
+    """Byte-equality of to_bincode for a MULTI-reference DB against a
+    blob constructed independently from serde/bincode-1.3's documented
+    fixint-LE layout (KmerDbV2: u8 k, u64 map len, then per entry u64
+    name len + UTF-8 bytes + u64 set len + u64 values; build.rs:141,
+    db_types.rs:8-14).  Also: a blob with entries in a DIFFERENT order
+    (Rust HashMap order is arbitrary) must load to the same database."""
+    db = KmerDb(k=31)
+    db.add_reference("genome_a.fasta.gz", np.array([0, 5, 2**63], dtype=np.uint64))
+    db.add_reference("b.fa", np.array([7], dtype=np.uint64))
+    db.add_reference("empty.fna", np.empty(0, dtype=np.uint64))
+    blob = db.to_bincode()
+
+    def entry(name: str, vals):
+        out = len(name.encode()).to_bytes(8, "little") + name.encode()
+        out += len(vals).to_bytes(8, "little")
+        for v in vals:
+            out += int(v).to_bytes(8, "little")
+        return out
+
+    expected = (
+        bytes([31])
+        + (3).to_bytes(8, "little")
+        + entry("genome_a.fasta.gz", [0, 5, 2**63])
+        + entry("b.fa", [7])
+        + entry("empty.fna", [])
+    )
+    assert blob == expected
+
+    # order-independence on load (HashMap iteration order is arbitrary)
+    reordered = (
+        bytes([31])
+        + (3).to_bytes(8, "little")
+        + entry("empty.fna", [])
+        + entry("b.fa", [7])
+        + entry("genome_a.fasta.gz", [0, 5, 2**63])
+    )
+    db2 = KmerDb.from_bincode(reordered)
+    assert db2.k == db.k
+    assert set(db2.references) == set(db.references)
+    for name in db.references:
+        np.testing.assert_array_equal(db2.references[name], db.references[name])
+    # unordered set values must also load (HashSet order is arbitrary)
+    shuffled = bytes([31]) + (1).to_bytes(8, "little") + entry("x", [9, 3, 6])
+    db3 = KmerDb.from_bincode(shuffled)
+    assert db3.references["x"].tolist() == [3, 6, 9]  # stored sorted

@@ -372,3 +372,70 @@ def test_hits_per_read_random_sorted_owner():
     )
     exp = np.bincount(owner, weights=member.astype(np.int64), minlength=64)
     np.testing.assert_array_equal(hits, exp.astype(np.int64))
+
+
+class TestSinglePlanePath:
+    """2k <= 32 specialization (VERDICT round 1 #4): single u32 plane
+    through sort/merge/RLE must agree bit-exactly with the pair path."""
+
+    @pytest.mark.parametrize("k", [3, 8, 15, 16])
+    def test_matches_general_path(self, k, monkeypatch):
+        from orion_kmer_tpu.engine import pack_for_transfer
+
+        monkeypatch.setattr(ops_count, "CHUNK_POSITIONS", 1 << 12)
+        rng = np.random.default_rng(40 + k)
+        n = 1 << 14  # 4 chunks through the merge tree
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        codes[rng.random(n) < 0.01] = 255
+        lanes, inv = pack_for_transfer(codes, n)
+        slo, nv = ops_count.sort_canonical_packed_single(
+            jnp.asarray(lanes), jnp.asarray(inv), k
+        )
+        ulo, ucnt, nu = ops_count.rle_compact_single(slo, nv)
+        ghi, glo, gnv = ops_count.sort_canonical_packed(
+            jnp.asarray(lanes), jnp.asarray(inv), k
+        )
+        euhi, eulo, eucnt, enu = ops_count.rle_compact(ghi, glo, gnv)
+        nu, enu = int(nu), int(enu)
+        assert nu == enu and int(nv) == int(gnv)
+        np.testing.assert_array_equal(np.asarray(ulo)[:nu], np.asarray(eulo)[:enu])
+        np.testing.assert_array_equal(np.asarray(ucnt)[:nu], np.asarray(eucnt)[:enu])
+        # and against the host oracle
+        ref_v, ref_c = np.unique(
+            codec.extract_kmers_np(codes, k), return_counts=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ulo)[:nu].astype(np.uint64), ref_v
+        )
+        np.testing.assert_array_equal(np.asarray(ucnt)[:nu], ref_c)
+
+    def test_t16_sentinel_collision(self):
+        """Real T^16 k-mers encode to 0xFFFFFFFF == the SENTINEL pad;
+        the valid-prefix accounting must keep their counts exact."""
+        codes = np.concatenate(
+            [
+                np.full(20, 3, dtype=np.uint8),  # T^20: 5 T^16 windows
+                np.array([255], dtype=np.uint8),
+                np.array([0, 1, 2, 3] * 8, dtype=np.uint8),
+            ]
+        )
+        n = 64
+        from orion_kmer_tpu.engine import pack_for_transfer
+
+        codes = np.pad(codes, (0, n - codes.shape[0]), constant_values=255)
+        lanes, inv = pack_for_transfer(codes, n)
+        k = 16
+        slo, nv = ops_count.sort_canonical_packed_single(
+            jnp.asarray(lanes), jnp.asarray(inv), k
+        )
+        ulo, ucnt, nu = ops_count.rle_compact_single(slo, nv)
+        ref_v, ref_c = np.unique(
+            codec.extract_kmers_np(codes, k), return_counts=True
+        )
+        nu = int(nu)
+        np.testing.assert_array_equal(
+            np.asarray(ulo)[:nu].astype(np.uint64), ref_v
+        )
+        np.testing.assert_array_equal(np.asarray(ucnt)[:nu], ref_c)
+        # the canonical T^16 (= A^16... canonical of T^16 is A^16) plus
+        # the ACGT-repeat k-mers must all be present with exact counts

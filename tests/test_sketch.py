@@ -157,3 +157,36 @@ def test_sketch_sparse_overflow_flag_and_dense_recovery():
     hk, ck = h[keep], counts[keep]
     order = np.argsort(hk)
     np.testing.assert_array_equal(np.asarray(dcnt)[:dnu], ck[order])
+
+
+def test_sketch_num_cap_bounded_and_exact(tmp_path, monkeypatch):
+    """--num sketches must consolidate incrementally (bounded memory) and
+    still produce the exact bottom-num hashes with exact abundances."""
+    import orion_kmer_tpu.engine as engine
+
+    from .util import run_cli, write_file as wf
+
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), size=6000))
+    p = wf(tmp_path / "g.fa", f">g\n{seq}\n")
+    # tiny batches so many accumulator adds + trims happen
+    import orion_kmer_tpu.commands.sketch as sketch_cmd
+
+    orig = sketch_cmd.sketch_file
+    monkeypatch.setattr(
+        sketch_cmd,
+        "sketch_file",
+        lambda path, k, scaled, num=0: orig(path, k, scaled, num, batch_positions=512),
+    )
+    s1 = tmp_path / "n.sig"
+    assert run_cli("sketch", "-k", 15, "--scaled", 1, "--num", 20, "-i", p, "-o", s1) == 0
+    doc = json.loads(s1.read_text())
+    got = np.array([int(h) for h in doc["sketches"][0]["hashes"]], dtype=np.uint64)
+    kmers = codec.extract_kmers_np(codec.seq_to_codes(seq.encode()), 15)
+    vals, counts = np.unique(kmers, return_counts=True)
+    h = splitmix64_np(vals)
+    order = np.argsort(h)
+    exp_h = h[order][:20]
+    exp_c = counts[order][:20]
+    np.testing.assert_array_equal(got, exp_h)
+    np.testing.assert_array_equal(np.array(doc["sketches"][0]["abundances"]), exp_c)
