@@ -138,6 +138,66 @@ def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
     return shi2, slo2, n_valid, any_overflow
 
 
+def _route_and_sort_single(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
+    """Single-plane (2k <= 32) variant of _route_and_sort: the canonical
+    k-mer fits one u32, so the a2a ships HALF the ICI traffic and the
+    receiver sorts one plane.  SENTINEL doubles as the unfilled-slot
+    marker, which is safe for CANONICAL k-mers: canonical = min(v, rc)
+    can never be all-ones (that would need v = rc = T^k, but
+    rc(T^k) = A^k), unlike raw window encodings.
+    """
+    from ..ops.count import _compact_left
+    from ..ops.kmers_lanes import extract_canonical_lanes
+    from ..ops.sort_pallas import merge_sorted_streams
+
+    lanes_blk = lanes_blk.reshape(-1)
+    inv_words_blk = inv_words_blk.reshape(-1)
+    block = lanes_blk.shape[0] * 16
+    _hi, lo, valid = extract_canonical_lanes(lanes_blk, inv_words_blk, k, block)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    b = lo.shape[0]
+    lo = jnp.where(valid, lo, SENTINEL)
+    owner = jnp.where(
+        valid, _owner_of(jnp.zeros_like(lo), lo, n_shards), jnp.uint32(n_shards)
+    )
+    sowner, slo = jax.lax.sort((owner, lo), num_keys=1)
+    dests = jnp.arange(n_shards, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow = (counts > cap).any().astype(jnp.int32)
+
+    M = n_shards * cap
+    idx = jnp.arange(b, dtype=jnp.int32)
+    rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+    routed = (sowner < n_shards) & (rank < cap)
+    big = jnp.uint32(0x7FFFFFFF)
+    dest_slot = jnp.where(routed, sowner * U32(cap) + rank.astype(U32), big)
+    slot_t = jnp.arange(M, dtype=jnp.int32)
+    unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
+    (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
+    n_unfilled = unfilled.astype(jnp.int32).sum()
+    ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
+    # slot keys are a permutation of 0..M-1: a 2-key merge of
+    # (dest_slot, payload) with (unfilled_slot, SENTINEL) places every
+    # payload at its slot (merge_sorted_streams treats plane0 as hi key)
+    mslot, mlo = merge_sorted_streams(
+        dest_slot, slo, ukeys, jnp.full((M,), SENTINEL, U32)
+    )
+    send_lo = mlo[:M]
+
+    recv_lo = jax.lax.all_to_all(
+        send_lo.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+    ).reshape(-1)
+    mine = recv_lo != SENTINEL
+    rlo = jnp.where(mine, recv_lo, SENTINEL)
+    (slo2,) = jax.lax.sort((rlo,), num_keys=1)
+    n_valid = mine.astype(jnp.int32).sum()
+    any_overflow = jax.lax.psum(overflow, "shard")
+    return slo2, n_valid, any_overflow
+
+
 class ShardedCountTable:
     """Multi-chip streaming count accumulation over a (shard,) mesh.
 
@@ -158,6 +218,11 @@ class ShardedCountTable:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.devices.size
         self.capacity_factor = capacity_factor
+        # single-plane representation for 2k <= 32: half the a2a ICI
+        # traffic and half the sort/merge bandwidth (see
+        # _route_and_sort_single and engine.DeviceCountTable)
+        self._single = 2 * k <= 32
+        self._tuple_len = 2 if self._single else 3
         self._runs: dict[int, tuple] = {}
         self._vals: list[np.ndarray] = []
         self._cnts: list[np.ndarray] = []
@@ -170,42 +235,65 @@ class ShardedCountTable:
         if fn is not None:
             return fn
         k, S = self.k, self.n_shards
-        from ..ops.sort_pallas import merge_sorted_streams
+        from ..ops.sort_pallas import merge_sorted_single, merge_sorted_streams
 
-        def per_device(lanes_blk, inv_words_blk, *run_rows):
-            shi, slo, n_valid, ovf = _route_and_sort(
-                lanes_blk, inv_words_blk, k, S, cap
-            )
-            run = (shi, slo, n_valid)
-            for i in range(depth):
-                a_hi, a_lo, a_n = run_rows[3 * i : 3 * i + 3]
-                mhi, mlo = merge_sorted_streams(
-                    a_hi.reshape(-1), a_lo.reshape(-1), run[0], run[1]
+        if self._single:
+
+            def per_device(lanes_blk, inv_words_blk, *run_rows):
+                slo, n_valid, ovf = _route_and_sort_single(
+                    lanes_blk, inv_words_blk, k, S, cap
                 )
-                run = (mhi, mlo, a_n.reshape(()) + run[2])
-            return (
-                run[0][None],
-                run[1][None],
-                run[2][None],
-                ovf[None],
-            )
+                run = (slo, n_valid)
+                for i in range(depth):
+                    a_lo, a_n = run_rows[2 * i : 2 * i + 2]
+                    run = (
+                        merge_sorted_single(a_lo.reshape(-1), run[0]),
+                        a_n.reshape(()) + run[1],
+                    )
+                return (run[0][None], run[1][None], ovf[None])
 
-        in_specs = (P("shard", None), P("shard", None)) + (
-            P("shard", None),
-            P("shard", None),
-            P("shard"),
-        ) * depth
+            in_specs = (P("shard", None), P("shard", None)) + (
+                P("shard", None),
+                P("shard"),
+            ) * depth
+            out_specs = (P("shard", None), P("shard"), P("shard"))
+        else:
+
+            def per_device(lanes_blk, inv_words_blk, *run_rows):
+                shi, slo, n_valid, ovf = _route_and_sort(
+                    lanes_blk, inv_words_blk, k, S, cap
+                )
+                run = (shi, slo, n_valid)
+                for i in range(depth):
+                    a_hi, a_lo, a_n = run_rows[3 * i : 3 * i + 3]
+                    mhi, mlo = merge_sorted_streams(
+                        a_hi.reshape(-1), a_lo.reshape(-1), run[0], run[1]
+                    )
+                    run = (mhi, mlo, a_n.reshape(()) + run[2])
+                return (
+                    run[0][None],
+                    run[1][None],
+                    run[2][None],
+                    ovf[None],
+                )
+
+            in_specs = (P("shard", None), P("shard", None)) + (
+                P("shard", None),
+                P("shard", None),
+                P("shard"),
+            ) * depth
+            out_specs = (
+                P("shard", None),
+                P("shard", None),
+                P("shard"),
+                P("shard"),
+            )
         fn = jax.jit(
             jax.shard_map(
                 per_device,
                 mesh=self.mesh,
                 in_specs=in_specs,
-                out_specs=(
-                    P("shard", None),
-                    P("shard", None),
-                    P("shard"),
-                    P("shard"),
-                ),
+                out_specs=out_specs,
             )
         )
         self._chain_cache[key] = fn
@@ -243,11 +331,12 @@ class ShardedCountTable:
             for rc in chain_caps:
                 run_args.extend(self._runs[rc])
             fn = self._chain_fn(cap, len(chain_caps), factor)
-            hi, lo, n, ovf = fn(d_codes, d_invalid, *run_args)
+            out = fn(d_codes, d_invalid, *run_args)
+            ovf = out[-1]
             if int(np.asarray(ovf).max()) == 0:
                 for rc in chain_caps:
                     self._runs.pop(rc)
-                self._runs[c] = (hi, lo, n)
+                self._runs[c] = out[:-1]
                 self._windows_since_flush += codes.shape[0]
                 if self._windows_since_flush >= self.FLUSH_WINDOWS:
                     self.flush()
@@ -267,25 +356,37 @@ class ShardedCountTable:
         fn = self._chain_cache.get(key)
         if fn is not None:
             return fn
-        from ..ops.count import rle_compact
+        from ..ops.count import rle_compact, rle_compact_single
 
-        def per_shard(h, l, nn):
-            uhi, ulo, ucnt, nu = rle_compact(
-                h.reshape(-1), l.reshape(-1), nn.reshape(())
+        if self._single:
+
+            def per_shard(l, nn):
+                ulo, ucnt, nu = rle_compact_single(l.reshape(-1), nn.reshape(()))
+                return ulo[None], ucnt[None], nu[None]
+
+            in_specs = (P("shard", None), P("shard"))
+            out_specs = (P("shard", None), P("shard", None), P("shard"))
+        else:
+
+            def per_shard(h, l, nn):
+                uhi, ulo, ucnt, nu = rle_compact(
+                    h.reshape(-1), l.reshape(-1), nn.reshape(())
+                )
+                return uhi[None], ulo[None], ucnt[None], nu[None]
+
+            in_specs = (P("shard", None), P("shard", None), P("shard"))
+            out_specs = (
+                P("shard", None),
+                P("shard", None),
+                P("shard", None),
+                P("shard"),
             )
-            return uhi[None], ulo[None], ucnt[None], nu[None]
-
         fn = jax.jit(
             jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(P("shard", None), P("shard", None), P("shard")),
-                out_specs=(
-                    P("shard", None),
-                    P("shard", None),
-                    P("shard", None),
-                    P("shard"),
-                ),
+                in_specs=in_specs,
+                out_specs=out_specs,
             )
         )
         self._chain_cache[key] = fn
@@ -293,14 +394,22 @@ class ShardedCountTable:
 
     def flush(self):
         for cap in sorted(self._runs):
-            hi, lo, n = self._runs[cap]
             fn = self._flush_fn(cap)
-            uhi, ulo, ucnt, nu = map(np.asarray, fn(hi, lo, n))
-            for s in range(self.n_shards):
-                m = int(nu[s])
-                if m:
-                    self._vals.append(join_u64(uhi[s, :m], ulo[s, :m]))
-                    self._cnts.append(ucnt[s, :m].astype(np.int64))
+            out = map(np.asarray, fn(*self._runs[cap]))
+            if self._single:
+                ulo, ucnt, nu = out
+                for s in range(self.n_shards):
+                    m = int(nu[s])
+                    if m:
+                        self._vals.append(ulo[s, :m].astype(np.uint64))
+                        self._cnts.append(ucnt[s, :m].astype(np.int64))
+            else:
+                uhi, ulo, ucnt, nu = out
+                for s in range(self.n_shards):
+                    m = int(nu[s])
+                    if m:
+                        self._vals.append(join_u64(uhi[s, :m], ulo[s, :m]))
+                        self._cnts.append(ucnt[s, :m].astype(np.int64))
         self._runs = {}
         self._windows_since_flush = 0
 

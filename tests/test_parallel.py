@@ -238,3 +238,32 @@ def test_pack_blocks_native_matches_numpy():
         el, ei = pack_for_transfer(row, block)
         np.testing.assert_array_equal(lanes[s], el)
         np.testing.assert_array_equal(invw[s], ei)
+
+
+def test_sharded_single_plane_k16_t16_edge():
+    """k=16 sharded streaming: single-plane a2a (half ICI traffic) must
+    stay exact, including T-runs (canonical(T^16) = A^16 = 0; SENTINEL
+    can never be a canonical value, so it safely marks unfilled slots)."""
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.parallel.mesh import make_mesh
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+    rng = np.random.default_rng(61)
+    codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    codes[:40] = 3  # T-run: T^16 windows
+    codes[rng.random(6000) < 0.01] = 255
+    k = 16
+    results = []
+    for nd in (2, 4):
+        t = ShardedCountTable(k, mesh=make_mesh(n_devices=nd))
+        t.update(codes[:2500])
+        t.update(codes[2500:])
+        results.append(t.result())
+    sep = np.full(k - 1, 255, dtype=np.uint8)
+    ref = codec.extract_kmers_np(
+        np.concatenate([codes[:2500], sep, codes[2500:]]), k
+    )
+    ev, ec = np.unique(ref, return_counts=True)
+    for vals, counts in results:
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(counts, ec)
