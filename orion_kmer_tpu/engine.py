@@ -253,6 +253,48 @@ def stream_native_chunks(
             carry = buf[consumed:]
 
 
+def _rebatch_codes(
+    chunks, k: int, batch_positions: int
+) -> Iterator[PackedBatch]:
+    """Re-batch a (codes, rec_ends, ids) chunk stream into UNIFORM
+    batch_positions-sized batches, carrying the remainder across chunk
+    boundaries (with the usual (k-1) halo at every split).
+
+    Without this, every ingest chunk ends in a remainder batch whose
+    power-of-two bucket varies chunk to chunk, and each new
+    (bucket, forest-depth) pair is a fresh XLA program -- ~40 s of
+    remote compile per combo on tunneled hosts.  Uniform batches keep
+    the compiled-program set to one bucket (+ the single file tail).
+    """
+    buf: list[np.ndarray] = []
+    total = 0
+    for codes, _rec_ends, _ids in chunks:
+        buf.append(codes)
+        total += codes.shape[0]
+        while total >= batch_positions:
+            cat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+            piece = cat[:batch_positions]
+            yield PackedBatch(
+                codes=piece,
+                invalid=piece == codec.INVALID_CODE,
+                owner=None,
+                first_rid=0,
+                record_ids=None,
+            )
+            rest = cat[batch_positions - (k - 1) :]  # halo at the split
+            buf = [rest]
+            total = rest.shape[0]
+    if total:
+        cat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+        yield PackedBatch(
+            codes=cat,
+            invalid=cat == codec.INVALID_CODE,
+            owner=None,
+            first_rid=0,
+            record_ids=None,
+        )
+
+
 def stream_file_batches(
     path,
     k: int,
@@ -268,8 +310,14 @@ def stream_file_batches(
 
     if native.available():
         try:
+            chunks = stream_native_chunks(path, k, normalize)
+            if not with_owner:
+                # uniform batch sizes across chunk boundaries (see
+                # _rebatch_codes) -- counting is record-agnostic
+                yield from _rebatch_codes(chunks, k, batch_positions)
+                return
             rid_offset = 0
-            for codes, rec_ends, ids in stream_native_chunks(path, k, normalize):
+            for codes, rec_ends, ids in chunks:
                 yield from _iter_batches_from_packed(
                     codes, rec_ends, ids, k, batch_positions, with_owner, rid_offset
                 )
@@ -537,9 +585,25 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
     """Canonical k-mer counts of one file via the fastest ingest path:
     native parse -> prefetch -> device-resident accumulation -> one fetch.
     Spans the device mesh automatically when several chips are present."""
+    import logging
+    import time
+
+    logger = logging.getLogger("orion_kmer_tpu.engine")
     table = _make_count_table(k)
+    positions = 0
+    t0 = time.monotonic()
+    last_log = t0
     for batch in _prefetch(stream_file_batches(path, k, normalize=normalize)):
         table.update(batch.codes)
+        positions += batch.codes.shape[0]
+        now = time.monotonic()
+        if now - last_log >= 30.0:
+            logger.info(
+                "count progress: %.1fM positions dispatched (%.1f s)",
+                positions / 1e6,
+                now - t0,
+            )
+            last_log = now
     return table.result()
 
 
