@@ -116,6 +116,25 @@ def main() -> None:
     step_dt = (time.perf_counter() - t0) / iters
     step_kmers_per_s = (BATCH - K + 1) / step_dt
 
+    # Secondary: the k=15 single-plane batch step (2k <= 32 pipeline:
+    # 1-key sort, one value plane -- half the sort bandwidth).
+    from orion_kmer_tpu.ops.count import sort_canonical_packed_single
+
+    @jax.jit
+    def step15(lanes, inv, carry):
+        inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
+        slo, nv = sort_canonical_packed_single(lanes, inv, 15)
+        return jnp.sum(slo, dtype=jnp.uint32).astype(jnp.int32) + nv
+
+    int(step15(dl, di, jnp.int32(0)))
+    t0 = time.perf_counter()
+    carry = jnp.int32(0)
+    for _ in range(iters):
+        carry = step15(dl, di, carry)
+    int(carry)
+    step15_dt = (time.perf_counter() - t0) / iters
+    step15_kmers_per_s = (BATCH - 15 + 1) / step15_dt
+
     # Secondary: FracMinHash sketching throughput (Gbp/s), wire-format path.
     from orion_kmer_tpu.ops.sketch import sketch_packed
 
@@ -195,6 +214,7 @@ def main() -> None:
         "total_positions": N_BATCHES * BATCH,
         "pipeline_seconds": round(best, 4),
         "batch_step_kmers_per_s": round(step_kmers_per_s, 1),
+        "batch_step_k15_single_plane_kmers_per_s": round(step15_kmers_per_s, 1),
         "sketch_gbps_scaled1000": round(sketch_gbps, 3),
         "query_windows_per_s": round(query_windows_per_s, 1),
     }

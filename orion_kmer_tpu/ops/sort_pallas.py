@@ -382,7 +382,12 @@ def _merge_halves(a_planes, b_planes, interpret: bool, n_keys: int = 2):
             for p, q in zip(a2, rb)
         ]
         s = n // 4
-    B = min(n, MERGE_BLOCK)
+    # the merge-tail kernel's scoped-VMEM stack grows with plane count x
+    # block rows: 5 planes at 2^16 blocks exceeds the 16 MB limit
+    # (measured: 16.57M on classify_join), so wide-plane merges halve
+    # the block (twice the grid steps, same total traffic)
+    merge_block = MERGE_BLOCK if len(planes2d) <= 4 else MERGE_BLOCK // 2
+    B = min(n, merge_block)
     strides = []
     while s >= B:
         strides.append(s)
