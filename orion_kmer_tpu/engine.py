@@ -308,6 +308,7 @@ def stream_file_batches(
     from .ingest import native
     from .ingest.fastx import FastxParseError
 
+    native_err = native.NativeParseError  # bind before the generator loop
     if native.available():
         try:
             chunks = stream_native_chunks(path, k, normalize)
@@ -322,7 +323,7 @@ def stream_file_batches(
                     codes, rec_ends, ids, k, batch_positions, with_owner, rid_offset
                 )
                 rid_offset += len(ids)
-        except native.NativeParseError as e:
+        except native_err as e:
             raise FastxParseError(str(e)) from e
         except ContextError as e:
             raise FastxParseError(
@@ -581,10 +582,24 @@ def _make_count_table(k: int):
     return DeviceCountTable(k)
 
 
+def _staged_batches(path, k: int, normalize: bool):
+    """Parse, wire-pack, AND device-transfer batches on the prefetch
+    thread: jnp.asarray inside the generator starts the host->device
+    copy before the consumer dispatches, so link transfer overlaps
+    device compute (it was serialized with the dispatch loop before --
+    on ~30 MB/s tunneled hosts the link is a first-order term)."""
+    for batch in stream_file_batches(path, k, normalize=normalize):
+        n = batch.codes.shape[0]
+        size = _bucket(n)
+        lanes, inv_words = pack_for_transfer(batch.codes, size)
+        yield jnp.asarray(lanes), jnp.asarray(inv_words), size, n
+
+
 def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Canonical k-mer counts of one file via the fastest ingest path:
-    native parse -> prefetch -> device-resident accumulation -> one fetch.
-    Spans the device mesh automatically when several chips are present."""
+    native parse -> prefetch(parse+pack+transfer) -> device-resident
+    accumulation -> one fetch.  Spans the device mesh automatically when
+    several chips are present."""
     import logging
     import time
 
@@ -593,17 +608,31 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
     positions = 0
     t0 = time.monotonic()
     last_log = t0
-    for batch in _prefetch(stream_file_batches(path, k, normalize=normalize)):
-        table.update(batch.codes)
-        positions += batch.codes.shape[0]
-        now = time.monotonic()
-        if now - last_log >= 30.0:
-            logger.info(
-                "count progress: %.1fM positions dispatched (%.1f s)",
-                positions / 1e6,
-                now - t0,
-            )
-            last_log = now
+    if isinstance(table, DeviceCountTable):
+        stream = _prefetch(_staged_batches(path, k, normalize))
+        for lanes, inv_words, size, n in stream:
+            table.update_packed(lanes, inv_words, size, n)
+            positions += n
+            now = time.monotonic()
+            if now - last_log >= 30.0:
+                logger.info(
+                    "count progress: %.1fM positions dispatched (%.1f s)",
+                    positions / 1e6,
+                    now - t0,
+                )
+                last_log = now
+    else:
+        for batch in _prefetch(stream_file_batches(path, k, normalize=normalize)):
+            table.update(batch.codes)
+            positions += batch.codes.shape[0]
+            now = time.monotonic()
+            if now - last_log >= 30.0:
+                logger.info(
+                    "count progress: %.1fM positions dispatched (%.1f s)",
+                    positions / 1e6,
+                    now - t0,
+                )
+                last_log = now
     return table.result()
 
 
@@ -724,76 +753,94 @@ def query_records(
 def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions: int = DEFAULT_BATCH) -> list[bytes]:
     """Native-ingest query path: streaming chunked C parse feeding the
     wire-format query step; memory is O(chunk), never O(reads file)
-    (unlike query.rs:62-67, which reads all reads into RAM)."""
+    (unlike query.rs:62-67, which reads all reads into RAM).
+
+    Batches are UNIFORMLY batch_positions-sized across chunk boundaries
+    (record starts carried in a rolling buffer), so mid-stream device
+    programs stay one (size, reads-bucket) shape -- per-chunk tail
+    batches each compiled a fresh program otherwise (~40 s per shape on
+    tunneled hosts; same fix as engine._rebatch_codes for counting).
+    """
     from .ingest import native
     from .ingest.fastx import FastxParseError
 
     if not native.available():
         return query_records(db_vals, parse_fastx_file(path), k, min_hits)
     db_dev = _query_db_device(db_vals)
-    all_ids: list[bytes] = []
-    all_hits_parts: list[np.ndarray] = []
-    all_lens_parts: list[np.ndarray] = []
     sep = k - 1
+    B = batch_positions
+    all_ids: list[bytes] = []
+    all_lens: list[int] = []
+    hits: list[int] = []
+    # rolling coordinate space: positions relative to buf[0]; records
+    # keep (start, region_end, rid) -- starts may go negative once a
+    # record spans consumed batches (clamped to 0 at dispatch, matching
+    # _query_step_packed's first-record contract)
+    buf = np.empty(0, np.uint8)
+    bstarts = np.empty(0, np.int64)
+    bends = np.empty(0, np.int64)
+    brids = np.empty(0, np.int64)
+
+    def run_batch(piece: np.ndarray, starts_local: np.ndarray, rids: np.ndarray):
+        n = piece.shape[0]
+        size = _bucket(n)
+        lanes, inv_words = pack_for_transfer(piece, size)
+        nr = rids.shape[0]
+        nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
+        ls = _pad(
+            np.maximum(starts_local, 0).astype(np.int32), nr_bucket, size
+        )  # pad entries = out-of-range, dropped
+        step = np.asarray(
+            _query_step_packed(
+                jnp.asarray(lanes),
+                jnp.asarray(inv_words),
+                jnp.asarray(ls),
+                *db_dev,
+                k,
+                nr_bucket,
+                jnp.int32(n),
+            )
+        )
+        for i in range(nr):
+            hits[int(rids[i])] += int(step[i])
+
     try:
         for codes, rec_ends, ids in stream_native_chunks(
             path, k, normalize=False
         ):
+            base = buf.shape[0]
             starts = np.concatenate([[0], rec_ends[:-1] + sep])
-            lens = rec_ends - starts
-            region_end = rec_ends + sep  # record region incl. its separator
-            n = codes.shape[0]
-            hits = np.zeros(len(ids), dtype=np.int64)
-            a = 0
-            while n > 0:
-                b = min(a + batch_positions, n)
-                first = int(np.searchsorted(region_end, a, side="right"))
-                last = min(
-                    int(np.searchsorted(region_end, b - 1, side="right")),
-                    len(ids) - 1,
-                )
-                nr = last - first + 1
-                size = _bucket(b - a)
-                lanes, inv_words = pack_for_transfer(codes[a:b], size)
-                nr_bucket = _bucket(nr + 1, minimum=_READS_BUCKET)
-                local_starts = np.maximum(starts[first : last + 1] - a, 0).astype(
-                    np.int32
-                )
-                ls = _pad(local_starts, nr_bucket, size)  # pad = dropped
-                step = np.asarray(
-                    _query_step_packed(
-                        jnp.asarray(lanes),
-                        jnp.asarray(inv_words),
-                        jnp.asarray(ls),
-                        *db_dev,
-                        k,
-                        nr_bucket,
-                        jnp.int32(b - a),
-                    )
-                )
-                hits[first : last + 1] += step[:nr]
-                if b >= n:
-                    break
-                a = b - (k - 1)  # halo: boundary windows produced once
+            rid_base = len(all_ids)
             all_ids.extend(ids)
-            all_hits_parts.append(hits)
-            all_lens_parts.append(lens)
+            all_lens.extend((rec_ends - starts).tolist())
+            hits.extend([0] * len(ids))
+            buf = np.concatenate([buf, codes]) if base else codes
+            bstarts = np.concatenate([bstarts, base + starts])
+            bends = np.concatenate([bends, base + rec_ends + sep])
+            brids = np.concatenate(
+                [brids, rid_base + np.arange(len(ids), dtype=np.int64)]
+            )
+            while buf.shape[0] >= B:
+                mask = bstarts < B
+                run_batch(buf[:B], bstarts[mask], brids[mask])
+                cut = B - sep  # halo: boundary windows produced once
+                buf = buf[cut:]
+                keep = bends > cut
+                bstarts = bstarts[keep] - cut
+                bends = bends[keep] - cut
+                brids = brids[keep]
+        if buf.shape[0]:
+            run_batch(buf, bstarts, brids)
     except native.NativeParseError as e:
         raise FastxParseError(str(e)) from e
     except ContextError as e:
         raise FastxParseError(
             f"Failed to get input reader for file: {path}", e
         ) from e
-    all_hits = (
-        np.concatenate(all_hits_parts) if all_hits_parts else np.empty(0, np.int64)
-    )
-    all_lens = (
-        np.concatenate(all_lens_parts) if all_lens_parts else np.empty(0, np.int64)
-    )
     return [
         all_ids[i]
         for i in range(len(all_ids))
-        if all_hits[i] >= min_hits and all_lens[i] >= k
+        if hits[i] >= min_hits and all_lens[i] >= k
     ]
 
 

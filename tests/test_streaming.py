@@ -175,3 +175,38 @@ def test_python_fallback_streams_records(tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.concatenate(batches_py), np.concatenate(batches_nat)
     )
+
+
+def test_query_records_spanning_many_batches(tmp_path, monkeypatch):
+    """A read much longer than the batch must carry through many
+    batches (negative rolling starts) with exact multiplicity hits."""
+    import orion_kmer_tpu.engine as engine
+    from orion_kmer_tpu.db import KmerDb
+    from orion_kmer_tpu.engine import query_file, unique_from_file
+
+    rng = np.random.default_rng(71)
+    g = "".join(rng.choice(list("ACGT"), size=2000))
+    gp = write_file(tmp_path / "g.fasta", f">g\n{g}\n")
+    k = 21
+    vals = unique_from_file(gp, k)
+    # reads: one long read from g (spans many 512-position batches),
+    # one long random read, two short ones
+    long_hit = g[100:1800]
+    long_miss = "".join(rng.choice(list("ACGT"), size=1500))
+    reads = (
+        f"@hit\n{long_hit}\n+\n{'I'*len(long_hit)}\n"
+        f"@miss\n{long_miss}\n+\n{'I'*len(long_miss)}\n"
+        f"@short\n{g[50:80]}\n+\n{'I'*30}\n"
+        f"@tiny\nACGT\n+\nIIII\n"
+    )
+    rp = write_file(tmp_path / "r.fastq", reads)
+    monkeypatch.setattr(engine, "CHUNK_BYTES", 400)  # multiple chunks too
+
+    got = query_file(vals, rp, k, min_hits=1, batch_positions=512)
+    assert got == [b"hit", b"short"]
+    # exact hit-threshold: the long hit read has len-k+1 matching windows
+    n_windows = len(long_hit) - k + 1
+    got = query_file(vals, rp, k, min_hits=n_windows, batch_positions=512)
+    assert got == [b"hit"]
+    got = query_file(vals, rp, k, min_hits=n_windows + 1, batch_positions=512)
+    assert got == []
