@@ -30,6 +30,22 @@ def enable_persistent_cache() -> None:
     try:
         import jax
 
+        # scope by host-CPU fingerprint: XLA:CPU AOT executables embed
+        # the compile machine's feature set, and a shared cache dir
+        # across heterogeneous hosts loads them with a SIGILL risk
+        # ("Machine type used for XLA:CPU compilation doesn't match")
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), "unknown"
+                )
+            setting = os.path.join(
+                setting, hashlib.sha256(flags.encode()).hexdigest()[:8]
+            )
+        except OSError:
+            pass
         os.makedirs(setting, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", setting)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

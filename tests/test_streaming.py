@@ -210,3 +210,36 @@ def test_query_records_spanning_many_batches(tmp_path, monkeypatch):
     assert got == [b"hit"]
     got = query_file(vals, rp, k, min_hits=n_windows + 1, batch_positions=512)
     assert got == []
+
+
+@pytest.mark.parametrize("ext", ["xz", "zst"])
+def test_chunk_stream_compressed_matrix(tmp_path, ext):
+    """Streaming chunk reads must work through every read-side codec
+    (utils.rs:125-152 matrix), not just gz."""
+    rng = np.random.default_rng(29)
+    text = _random_fastq(rng, 25)
+    p = write_file(tmp_path / f"r.fastq.{ext}", text)
+    k = 7
+    whole = native.parse_fastx_packed(text.encode(), k, True, source="w")
+    parts = list(stream_native_chunks(p, k, True, chunk_bytes=256))
+    np.testing.assert_array_equal(
+        np.concatenate([c for c, _, _ in parts]), whole[0]
+    )
+    assert [i for _, _, ii in parts for i in ii] == whole[2]
+
+
+def test_chunk_stream_multi_member_gz(tmp_path):
+    """Concatenated gzip members must decompress as one stream
+    (MultiGzDecoder semantics, utils.rs:131)."""
+    rng = np.random.default_rng(31)
+    t1 = _random_fastq(rng, 10)
+    t2 = _random_fastq(rng, 10)
+    p = tmp_path / "m.fastq.gz"
+    p.write_bytes(gzip.compress(t1.encode()) + gzip.compress(t2.encode()))
+    k = 5
+    whole = native.parse_fastx_packed((t1 + t2).encode(), k, True, source="w")
+    parts = list(stream_native_chunks(p, k, True, chunk_bytes=128))
+    np.testing.assert_array_equal(
+        np.concatenate([c for c, _, _ in parts]), whole[0]
+    )
+    assert len([i for _, _, ii in parts for i in ii]) == 20
