@@ -483,6 +483,55 @@ class DeviceCountTable:
             cls._CHAIN_CACHE[key] = fn
         return fn
 
+    def warm(self, size: int = DEFAULT_BATCH, max_depth: int | None = None):
+        """Trace + execute every chain depth (and flush RLE cap) once on
+        dummy inputs, in a canonical order.
+
+        Why: the serialized Mosaic kernel payloads embedded in these
+        programs are deterministic only per trace-flow, so the
+        persistent-cache keys of data-driven traces vary slightly
+        between entry points (each first run paid a ~40 s remote compile
+        per depth).  Warming in ONE canonical flow makes every run share
+        the same key set: later data-driven calls have identical
+        fn+avals and reuse the in-process jit cache outright.  With the
+        persistent cache hot this costs ~1 s per depth; discarded
+        results carry n_valid = 0.
+        """
+        if max_depth is None:
+            max_depth = max((self.FLUSH_WINDOWS // size).bit_length() - 1, 0)
+        from .ops.count import rle_compact, rle_compact_single
+
+        lanes = jnp.zeros(size // 16, jnp.uint32)
+        inv = jnp.full(size // 32, 0xFFFFFFFF, jnp.uint32)  # all invalid
+        zero = jnp.int32(0)
+        for depth in range(max_depth + 1):
+            runs = []
+            for i in range(depth):
+                cap = size << i
+                if self._single:
+                    runs.extend(
+                        [jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero]
+                    )
+                else:
+                    runs.extend(
+                        [
+                            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+                            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+                            zero,
+                        ]
+                    )
+            out = self._chain_fn(self.k, depth)(lanes, inv, *runs)
+            cap = size << depth
+            if self._single:
+                rle_compact_single(jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero)
+            else:
+                rle_compact(
+                    jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+                    jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+                    zero,
+                )
+            del out
+
     def update_packed(self, lanes, inv_words, size: int, n_windows: int):
         """Fold one wire-format batch in (size = 16 * len(lanes))."""
         cap = size
@@ -609,6 +658,8 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
     t0 = time.monotonic()
     last_log = t0
     if isinstance(table, DeviceCountTable):
+        if jax.default_backend() == "tpu":
+            table.warm()  # canonical trace order: stable cache keys
         stream = _prefetch(_staged_batches(path, k, normalize))
         for lanes, inv_words, size, n in stream:
             table.update_packed(lanes, inv_words, size, n)

@@ -218,3 +218,21 @@ def test_count_accumulator_pairwise_merge_matches_bruteforce():
     exp_c = np.array([cat_c[cat_v == x].sum() for x in exp_v])
     np.testing.assert_array_equal(vals, exp_v)
     np.testing.assert_array_equal(counts, exp_c)
+
+
+def test_device_count_table_warm_smoke():
+    """warm() must trace+run every chain depth and flush cap without
+    affecting subsequent results (dummy inputs carry n_valid = 0)."""
+    from orion_kmer_tpu.engine import DeviceCountTable
+
+    for k in (7, 31):  # single-plane and pair representations
+        t = DeviceCountTable(k)
+        t.warm(size=4096, max_depth=2)
+        codes = np.frombuffer(b"\x00\x01\x02\x03" * 64, dtype=np.uint8).copy()
+        t.update(codes)
+        vals, counts = t.result()
+        from orion_kmer_tpu import codec
+
+        ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(counts, ec)
