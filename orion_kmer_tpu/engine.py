@@ -376,18 +376,28 @@ class CountAccumulator:
     peak extra memory is ~the final output + the two inputs of the
     current merge."""
 
+    # consolidate when held entries exceed max(2x last consolidated
+    # size, this floor): without it, a high-coverage input re-lists its
+    # genome k-mers in EVERY flush epoch and host memory grows with
+    # epochs, not with the table (measured 31 GB vs a ~5 GB table on a
+    # 10 Gbp run).  Amortized O(n log epochs), same shape as the LSM.
+    CONSOLIDATE_FLOOR = 1 << 25
+
     def __init__(self):
         self._vals: list[np.ndarray] = []
         self._counts: list[np.ndarray] = []
+        self._total = 0
+        self._threshold = self.CONSOLIDATE_FLOOR
 
     def add(self, vals: np.ndarray, counts: np.ndarray) -> None:
         if vals.shape[0]:
             self._vals.append(vals)
             self._counts.append(counts.astype(np.int64))
+            self._total += vals.shape[0]
+            if self._total > self._threshold:
+                self._consolidate()
 
-    def result(self) -> tuple[np.ndarray, np.ndarray]:
-        if not self._vals:
-            return np.empty(0, np.uint64), np.empty(0, np.int64)
+    def _merge_all(self) -> tuple[np.ndarray, np.ndarray]:
         runs = list(zip(self._vals, self._counts))
         while len(runs) > 1:
             runs.sort(key=lambda vc: vc[0].shape[0], reverse=True)
@@ -395,6 +405,17 @@ class CountAccumulator:
             v1, c1 = runs.pop()
             runs.append(_merge_sorted_unique_runs(v1, c1, v2, c2))
         return runs[0]
+
+    def _consolidate(self) -> None:
+        v, c = self._merge_all()
+        self._vals, self._counts = [v], [c]
+        self._total = v.shape[0]
+        self._threshold = max(2 * self._total, self.CONSOLIDATE_FLOOR)
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self._vals:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return self._merge_all()
 
 
 class DeviceCountTable:

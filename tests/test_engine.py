@@ -236,3 +236,26 @@ def test_device_count_table_warm_smoke():
         ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(counts, ec)
+
+
+def test_count_accumulator_consolidation_bounds_runs():
+    """Epoch-duplicated runs must consolidate: held entries stay
+    ~O(table), not O(epochs x table), with exact results."""
+    from orion_kmer_tpu.engine import CountAccumulator
+
+    rng = np.random.default_rng(77)
+    acc = CountAccumulator()
+    acc.CONSOLIDATE_FLOOR = 1000  # instance override for the test
+    acc._threshold = 1000
+    base = np.sort(rng.choice(np.arange(5000, dtype=np.uint64), 800, replace=False))
+    total = {}
+    for _epoch in range(40):
+        c = rng.integers(1, 50, size=base.shape[0]).astype(np.int64)
+        acc.add(base, c)
+        for v, cc in zip(base.tolist(), c.tolist()):
+            total[v] = total.get(v, 0) + cc
+    # held entries bounded near the table size, not 40 epochs worth
+    assert acc._total <= 4 * base.shape[0], acc._total
+    vals, counts = acc.result()
+    np.testing.assert_array_equal(vals, base)
+    np.testing.assert_array_equal(counts, [total[v] for v in base.tolist()])
