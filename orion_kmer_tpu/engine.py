@@ -460,63 +460,48 @@ class DeviceCountTable:
         lanes, inv_words = pack_for_transfer(codes, size)
         self.update_packed(jnp.asarray(lanes), jnp.asarray(inv_words), size, n)
 
-    _CHAIN_CACHE: dict = {}
+    def _sort_batch(self, lanes, inv_words):
+        """One jitted program per k-class: extract + sort the batch."""
+        if self._single:
+            from .ops.count import sort_canonical_packed_single
 
-    @classmethod
-    def _chain_fn(cls, k: int, depth: int):
-        """Jitted batch step: sort the new batch AND run its whole
-        binary-counter merge cascade (depth merges) in ONE dispatch.
-        The cascade structure is deterministic given the batch count, so
-        the chain is known before any device work; folding it saves one
-        host dispatch round-trip per merge (~1.6 ms each on tunneled
-        hosts)."""
-        key = (k, depth)
-        fn = cls._CHAIN_CACHE.get(key)
-        if fn is None:
-            if 2 * k <= 32:
-                from .ops.count import sort_canonical_packed_single
-                from .ops.sort_pallas import merge_sorted_single
+            return sort_canonical_packed_single(lanes, inv_words, self.k)
+        from .ops.count import sort_canonical_packed
 
-                def chain(lanes, inv_words, *run_arrays):
-                    slo, n_valid = sort_canonical_packed_single(
-                        lanes, inv_words, k
-                    )
-                    run = (slo, n_valid)
-                    for i in range(depth):
-                        a_lo, a_n = run_arrays[2 * i : 2 * i + 2]
-                        run = (merge_sorted_single(a_lo, run[0]), a_n + run[1])
-                    return run
+        return sort_canonical_packed(lanes, inv_words, self.k)
 
-            else:
-                from .ops.count import sort_canonical_packed
-                from .ops.sort_pallas import merge_sorted_streams
+    def _merge_runs(self, a: tuple, b: tuple) -> tuple:
+        """Merge two equal-capacity runs with ONE standalone per-size
+        merge program.
 
-                def chain(lanes, inv_words, *run_arrays):
-                    shi, slo, n_valid = sort_canonical_packed(lanes, inv_words, k)
-                    run = (shi, slo, n_valid)
-                    for i in range(depth):
-                        a_hi, a_lo, a_n = run_arrays[3 * i : 3 * i + 3]
-                        mhi, mlo = merge_sorted_streams(a_hi, a_lo, run[0], run[1])
-                        run = (mhi, mlo, a_n + run[2])
-                    return run
+        Deliberately NOT folded into a single chained jit with the sort:
+        Mosaic kernel payloads recompile at executable-LOAD time, so a
+        depth-d chain program (containing every merge network up to its
+        cap) cost ~35-45 s per process even on persistent-cache hits.
+        Standalone per-level merge programs are small, load fast, and
+        are shared by every deeper fold; the fold only saved one
+        dispatch round-trip (~1.6 ms) per merge.
+        """
+        if self._single:
+            from .ops.sort_pallas import merge_sorted_single
 
-            fn = jax.jit(chain)
-            cls._CHAIN_CACHE[key] = fn
-        return fn
+            return (merge_sorted_single(a[0], b[0]), a[1] + b[1])
+        from .ops.sort_pallas import merge_sorted_streams
+
+        mhi, mlo = merge_sorted_streams(a[0], a[1], b[0], b[1])
+        return (mhi, mlo, a[2] + b[2])
 
     def warm(self, size: int = DEFAULT_BATCH, max_depth: int | None = None):
-        """Trace + execute every chain depth (and flush RLE cap) once on
-        dummy inputs, in a canonical order.
+        """Trace + execute the batch sort, every per-level merge, and
+        every flush RLE cap once on dummy inputs, in a canonical order.
 
-        Why: the serialized Mosaic kernel payloads embedded in these
-        programs are deterministic only per trace-flow, so the
-        persistent-cache keys of data-driven traces vary slightly
-        between entry points (each first run paid a ~40 s remote compile
-        per depth).  Warming in ONE canonical flow makes every run share
-        the same key set: later data-driven calls have identical
-        fn+avals and reuse the in-process jit cache outright.  With the
-        persistent cache hot this costs ~1 s per depth; discarded
-        results carry n_valid = 0.
+        Two reasons: (1) serialized Mosaic kernel payloads are
+        deterministic only per trace-flow, so warming in ONE canonical
+        flow gives every entry point the same persistent-cache key set;
+        (2) executable loads re-lower Mosaic kernels, so pre-loading
+        them here keeps the per-batch dispatch path stall-free.  With
+        the cache hot this costs ~1-2 s per level; dummy results carry
+        n_valid = 0 and are discarded.
         """
         if max_depth is None:
             max_depth = max((self.FLUSH_WINDOWS // size).bit_length() - 1, 0)
@@ -525,43 +510,26 @@ class DeviceCountTable:
         lanes = jnp.zeros(size // 16, jnp.uint32)
         inv = jnp.full(size // 32, 0xFFFFFFFF, jnp.uint32)  # all invalid
         zero = jnp.int32(0)
-        for depth in range(max_depth + 1):
-            runs = []
-            for i in range(depth):
-                cap = size << i
-                if self._single:
-                    runs.extend(
-                        [jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero]
-                    )
-                else:
-                    runs.extend(
-                        [
-                            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-                            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-                            zero,
-                        ]
-                    )
-            out = self._chain_fn(self.k, depth)(lanes, inv, *runs)
-            cap = size << depth
+        self._sort_batch(lanes, inv)
+        for level in range(max_depth + 1):
+            cap = size << level
             if self._single:
-                rle_compact_single(jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero)
+                dummy = (jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero)
+                rle_compact_single(dummy[0], zero)
             else:
-                rle_compact(
-                    jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-                    jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-                    zero,
-                )
-            del out
+                plane = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
+                dummy = (plane, plane, zero)
+                rle_compact(plane, plane, zero)
+            if level < max_depth:
+                self._merge_runs(dummy, dummy)
 
     def update_packed(self, lanes, inv_words, size: int, n_windows: int):
         """Fold one wire-format batch in (size = 16 * len(lanes))."""
+        run = self._sort_batch(lanes, inv_words)
         cap = size
-        chain_runs: list = []
         while cap in self._runs:
-            chain_runs.extend(self._runs.pop(cap))
+            run = self._merge_runs(self._runs.pop(cap), run)
             cap *= 2
-        fn = self._chain_fn(self.k, len(chain_runs) // self._tuple_len)
-        run = fn(lanes, inv_words, *chain_runs)
         self._runs[cap] = run
         self._windows_since_flush += n_windows
         if self._windows_since_flush >= self.FLUSH_WINDOWS:

@@ -229,65 +229,84 @@ class ShardedCountTable:
         self._chain_cache: dict = {}
         self._windows_since_flush = 0
 
-    def _chain_fn(self, cap: int, depth: int, factor: float):
-        key = (cap, depth, factor)
+    def _route_fn(self, cap: int, factor: float):
+        """Jitted route+sort step for one per-destination capacity.
+
+        Standalone (not folded with the merge cascade): Mosaic kernels
+        re-lower at executable LOAD time, so big fused programs cost
+        tens of seconds per process even on persistent-cache hits --
+        small per-stage programs load fast and per-level merges are
+        shared across fold depths (see engine.DeviceCountTable)."""
+        key = ("route", cap, factor)
         fn = self._chain_cache.get(key)
         if fn is not None:
             return fn
         k, S = self.k, self.n_shards
-        from ..ops.sort_pallas import merge_sorted_single, merge_sorted_streams
-
         if self._single:
 
-            def per_device(lanes_blk, inv_words_blk, *run_rows):
+            def per_device(lanes_blk, inv_words_blk):
                 slo, n_valid, ovf = _route_and_sort_single(
                     lanes_blk, inv_words_blk, k, S, cap
                 )
-                run = (slo, n_valid)
-                for i in range(depth):
-                    a_lo, a_n = run_rows[2 * i : 2 * i + 2]
-                    run = (
-                        merge_sorted_single(a_lo.reshape(-1), run[0]),
-                        a_n.reshape(()) + run[1],
-                    )
-                return (run[0][None], run[1][None], ovf[None])
+                return slo[None], n_valid[None], ovf[None]
 
-            in_specs = (P("shard", None), P("shard", None)) + (
-                P("shard", None),
-                P("shard"),
-            ) * depth
             out_specs = (P("shard", None), P("shard"), P("shard"))
         else:
 
-            def per_device(lanes_blk, inv_words_blk, *run_rows):
+            def per_device(lanes_blk, inv_words_blk):
                 shi, slo, n_valid, ovf = _route_and_sort(
                     lanes_blk, inv_words_blk, k, S, cap
                 )
-                run = (shi, slo, n_valid)
-                for i in range(depth):
-                    a_hi, a_lo, a_n = run_rows[3 * i : 3 * i + 3]
-                    mhi, mlo = merge_sorted_streams(
-                        a_hi.reshape(-1), a_lo.reshape(-1), run[0], run[1]
-                    )
-                    run = (mhi, mlo, a_n.reshape(()) + run[2])
-                return (
-                    run[0][None],
-                    run[1][None],
-                    run[2][None],
-                    ovf[None],
-                )
+                return shi[None], slo[None], n_valid[None], ovf[None]
 
-            in_specs = (P("shard", None), P("shard", None)) + (
-                P("shard", None),
-                P("shard", None),
-                P("shard"),
-            ) * depth
             out_specs = (
                 P("shard", None),
                 P("shard", None),
                 P("shard"),
                 P("shard"),
             )
+        fn = jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=self.mesh,
+                in_specs=(P("shard", None), P("shard", None)),
+                out_specs=out_specs,
+            )
+        )
+        self._chain_cache[key] = fn
+        return fn
+
+    def _merge_fn(self, cap: int):
+        """Jitted per-shard merge of two equal-capacity run sets."""
+        key = ("merge", cap)
+        fn = self._chain_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops.sort_pallas import merge_sorted_single, merge_sorted_streams
+
+        if self._single:
+
+            def per_device(a_lo, a_n, b_lo, b_n):
+                m = merge_sorted_single(a_lo.reshape(-1), b_lo.reshape(-1))
+                return m[None], (a_n.reshape(()) + b_n.reshape(()))[None]
+
+            in_specs = (P("shard", None), P("shard")) * 2
+            out_specs = (P("shard", None), P("shard"))
+        else:
+
+            def per_device(a_hi, a_lo, a_n, b_hi, b_lo, b_n):
+                mhi, mlo = merge_sorted_streams(
+                    a_hi.reshape(-1),
+                    a_lo.reshape(-1),
+                    b_hi.reshape(-1),
+                    b_lo.reshape(-1),
+                )
+                return mhi[None], mlo[None], (
+                    a_n.reshape(()) + b_n.reshape(())
+                )[None]
+
+            in_specs = (P("shard", None), P("shard", None), P("shard")) * 2
+            out_specs = (P("shard", None), P("shard", None), P("shard"))
         fn = jax.jit(
             jax.shard_map(
                 per_device,
@@ -322,21 +341,16 @@ class ShardedCountTable:
         while True:
             cap = int(np.ceil(factor * block / S))
             M = S * cap  # per-shard stream capacity for this batch
-            chain_caps = []
-            c = M
-            while c in self._runs:
-                chain_caps.append(c)
-                c *= 2
-            run_args = []
-            for rc in chain_caps:
-                run_args.extend(self._runs[rc])
-            fn = self._chain_fn(cap, len(chain_caps), factor)
-            out = fn(d_codes, d_invalid, *run_args)
+            out = self._route_fn(cap, factor)(d_codes, d_invalid)
             ovf = out[-1]
             if int(np.asarray(ovf).max()) == 0:
-                for rc in chain_caps:
-                    self._runs.pop(rc)
-                self._runs[c] = out[:-1]
+                run = out[:-1]
+                c = M
+                while c in self._runs:
+                    prev = self._runs.pop(c)
+                    run = self._merge_fn(c)(*prev, *run)
+                    c *= 2
+                self._runs[c] = run
                 self._windows_since_flush += codes.shape[0]
                 if self._windows_since_flush >= self.FLUSH_WINDOWS:
                     self.flush()
