@@ -647,7 +647,10 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
     t0 = time.monotonic()
     last_log = t0
     if isinstance(table, DeviceCountTable):
-        if jax.default_backend() == "tpu":
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("ORION_KMER_WARM", "1") != "0"
+        ):
             table.warm()  # canonical trace order: stable cache keys
         stream = _prefetch(_staged_batches(path, k, normalize))
         for lanes, inv_words, size, n in stream:
