@@ -651,7 +651,30 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
             jax.default_backend() == "tpu"
             and os.environ.get("ORION_KMER_WARM", "1") != "0"
         ):
-            table.warm()  # canonical trace order: stable cache keys
+            # warm only the ladder this file can actually reach: every
+            # warmed level costs an executable load (~10-45 s/program on
+            # remote backends), so a small input must not pay for the
+            # full forest.  File size bounds positions (compressed
+            # inputs get a generous expansion guess; the deeper levels
+            # would load lazily if it turns out low).
+            try:
+                fsize = os.path.getsize(os.fspath(path))
+            except OSError:
+                fsize = 0
+            ext = os.path.splitext(os.fspath(path))[1].lower()
+            est_positions = fsize * (8 if ext in (".gz", ".xz", ".zst", ".zstd") else 1)
+            depth_cap = max(
+                min(
+                    max(est_positions // DEFAULT_BATCH, 1).bit_length(),
+                    max(
+                        (DeviceCountTable.FLUSH_WINDOWS // DEFAULT_BATCH).bit_length()
+                        - 1,
+                        0,
+                    ),
+                ),
+                0,
+            )
+            table.warm(max_depth=depth_cap)  # canonical order: stable keys
         stream = _prefetch(_staged_batches(path, k, normalize))
         for lanes, inv_words, size, n in stream:
             table.update_packed(lanes, inv_words, size, n)
