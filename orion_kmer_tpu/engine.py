@@ -439,6 +439,12 @@ class DeviceCountTable:
 
     FLUSH_WINDOWS = 1 << 28
 
+    # Device-table spill bound (elements).  2^27 keys x 16 B = 2.1 GB of
+    # HBM (the forest runs and epoch RLE buffers are co-resident); past
+    # it the accumulated table is fetched to the host and the device
+    # side restarts (the host accumulator is the overflow tier).
+    DEVICE_TABLE_MAX = int(os.environ.get("ORION_KMER_DEVICE_TABLE_MAX", str(1 << 27)))
+
     def __init__(self, k: int):
         self.k = k
         # 2k <= 32: the whole canonical k-mer fits one u32 plane
@@ -451,6 +457,10 @@ class DeviceCountTable:
         self._runs: dict[int, tuple] = {}
         self._windows_since_flush = 0
         self._acc = CountAccumulator()
+        # device-resident accumulated table: keys... + (cnt_lo, cnt_hi)
+        # u32 planes + device n; flush folds epoch RLE outputs into it so
+        # the host link carries the table once, at result()
+        self._table: tuple | None = None
 
     def update(self, codes: np.ndarray):
         n = codes.shape[0]
@@ -535,6 +545,77 @@ class DeviceCountTable:
         if self._windows_since_flush >= self.FLUSH_WINDOWS:
             self.flush()
 
+    @staticmethod
+    def _pad_to(planes, cap: int):
+        """Pad key/count planes up to ``cap`` elements (SENTINEL keys,
+        zero counts) so combine-merge operands stay power-of-two sized."""
+        n = planes[0].shape[0]
+        if cap == n:
+            return planes
+        pad = cap - n
+        out = []
+        for i, p in enumerate(planes):
+            fill = 0xFFFFFFFF if i < len(planes) - 2 else 0  # keys vs counts
+            out.append(jnp.concatenate([p, jnp.full((pad,), fill, jnp.uint32)]))
+        return out
+
+    @classmethod
+    def _pad_pow2(cls, planes, n_elems: int):
+        """Pad planes up to the next power of two."""
+        return cls._pad_to(planes, 1 << max(n_elems - 1, 1).bit_length())
+
+    def _fold_into_table(self, key_planes, ucnt, n_u):
+        """Merge one epoch's RLE output into the device-resident table,
+        spilling to the host accumulator at the capacity bound."""
+        from .ops.count import combine_sorted_unique, combine_sorted_unique_single
+
+        clo = ucnt.astype(jnp.uint32)
+        chi = jnp.zeros_like(clo)
+        run = self._pad_pow2([*key_planes, clo, chi], key_planes[0].shape[0])
+        if self._table is None:
+            self._table = (*run, n_u)
+            return
+        t = self._table
+        # equal caps keep the merged total a power of two (full Pallas
+        # merge/compact path); padding the smaller side costs <= 2x the
+        # smaller operand
+        cap = max(t[0].shape[0], run[0].shape[0])
+        cap_out = 2 * cap
+        if cap_out > self.DEVICE_TABLE_MAX:
+            self._spill()
+            self._table = (*run, n_u)
+            return
+        t = (*self._pad_to(list(t[:-1]), cap), t[-1])
+        run = self._pad_to(run, cap)
+        if self._single:
+            out = combine_sorted_unique_single(t[0], t[1], t[2], t[3], *run, n_u)
+        else:
+            out = combine_sorted_unique(
+                t[0], t[1], t[2], t[3], t[4], *run, n_u
+            )
+        planes, n_new = out[:-1], out[-1]
+        self._table = (*self._pad_pow2(list(planes), planes[0].shape[0]), n_new)
+
+    def _spill(self):
+        """Fetch the device table into the host accumulator and reset."""
+        if self._table is None:
+            return
+        *planes, n_dev = self._table
+        n = int(n_dev)
+        if n:
+            if self._single:
+                vals = np.asarray(planes[0][:n]).astype(np.uint64)
+                clo, chi = planes[1], planes[2]
+            else:
+                vals = join_u64(np.asarray(planes[0][:n]), np.asarray(planes[1][:n]))
+                clo, chi = planes[2], planes[3]
+            counts = (
+                np.asarray(clo[:n]).astype(np.int64)
+                + (np.asarray(chi[:n]).astype(np.int64) << 32)
+            )
+            self._acc.add(vals, counts)
+        self._table = None
+
     def flush(self):
         from .ops.count import rle_compact, rle_compact_single
 
@@ -542,23 +623,29 @@ class DeviceCountTable:
             if self._single:
                 lo, n_dev = self._runs[cap]
                 ulo, ucnt, n_u = rle_compact_single(lo, n_dev)
-                n = int(n_u)
-                if n:
-                    vals = np.asarray(ulo[:n]).astype(np.uint64)
-                    self._acc.add(vals, np.asarray(ucnt[:n]).astype(np.int64))
-                continue
-            hi, lo, n_dev = self._runs[cap]
-            uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
+                key_planes, cnt = [ulo], ucnt
+            else:
+                hi, lo, n_dev = self._runs[cap]
+                uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
+                key_planes, cnt = [uhi, ulo], ucnt
+            # one scalar sync per epoch: slice the full-capacity RLE
+            # buffers down to a tight bucket before folding, else the
+            # table capacity tracks the 2^28 flush window instead of the
+            # actual unique count (OOM'd at 1 Gbp scale)
             n = int(n_u)
-            if n:
-                vals = join_u64(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
-                cnts = np.asarray(ucnt[:n]).astype(np.int64)
-                self._acc.add(vals, cnts)
+            if n == 0:
+                continue
+            tight = _bucket(n)
+            if tight < key_planes[0].shape[0]:
+                key_planes = [p[:tight] for p in key_planes]
+                cnt = cnt[:tight]
+            self._fold_into_table(key_planes, cnt, jnp.int32(n))
         self._runs = {}
         self._windows_since_flush = 0
 
     def result(self) -> tuple[np.ndarray, np.ndarray]:
         self.flush()
+        self._spill()
         return self._acc.result()
 
 

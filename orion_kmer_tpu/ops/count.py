@@ -300,6 +300,79 @@ def count_packed_multi(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
     return rle_compact(shi, slo, n_valid)
 
 
+def _combine_merged_unique(planes, n_valid, n_keys: int):
+    """Shared tail of combine_sorted_unique*: given MERGED planes
+    (keys... , cnt_lo, cnt_hi) where each key appears at most twice
+    (both inputs were unique), sum the counts of equal keys with a
+    32-bit carry and compact the survivors to the front."""
+    keys = planes[:n_keys]
+    cnt_lo, cnt_hi = planes[n_keys], planes[n_keys + 1]
+    n = keys[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def eq(shift):
+        parts = [
+            k == jnp.concatenate([k[shift:], jnp.full((shift,), SENTINEL, U32)])
+            for k in keys
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+
+    in_prefix = idx < n_valid
+    eq_next = eq(1) & in_prefix & (idx + 1 < n_valid)
+    next_lo = jnp.concatenate([cnt_lo[1:], jnp.zeros((1,), U32)])
+    next_hi = jnp.concatenate([cnt_hi[1:], jnp.zeros((1,), U32)])
+    add_lo = jnp.where(eq_next, next_lo, 0)
+    add_hi = jnp.where(eq_next, next_hi, 0)
+    new_lo = cnt_lo + add_lo
+    carry = (new_lo < cnt_lo).astype(U32)
+    new_hi = cnt_hi + add_hi + carry
+    prev_eq = jnp.concatenate([jnp.zeros((1,), jnp.bool_), eq_next[:-1]])
+    keep = in_prefix & ~prev_eq  # run heads only (runs have length <= 2)
+    out = _compact_left([*keys, new_lo, new_hi], keep)
+    n_unique = keep.astype(jnp.int32).sum()
+    tail = idx >= n_unique
+    out_keys = [jnp.where(tail, SENTINEL, k) for k in out[:n_keys]]
+    out_lo = jnp.where(tail, 0, out[n_keys])
+    out_hi = jnp.where(tail, 0, out[n_keys + 1])
+    return (*out_keys, out_lo, out_hi, n_unique)
+
+
+@jax.jit
+def combine_sorted_unique(a_hi, a_lo, a_clo, a_chi, a_n, b_hi, b_lo, b_clo, b_chi, b_n):
+    """Merge two sorted-unique counted k-mer tables ((hi, lo) keys with
+    64-bit counts as (cnt_lo, cnt_hi) u32 planes), summing counts of
+    keys present in both.  Valid prefixes of length a_n/b_n; tails must
+    be SENTINEL keys with zero counts (SENTINEL is never a canonical
+    k-mer value: canonical = min(v, rc(v)) cannot be all-ones).
+
+    The device-resident flush accumulator: epoch RLE outputs fold into
+    one on-device table, so the host link carries the table ONCE at
+    result() instead of every epoch, and the 1-core host does no merge
+    work (classify.rs has no analog; count.rs:106-135 accumulates in the
+    host HashMap).
+    """
+    from .sort_pallas import merge_sorted_planes
+
+    merged = merge_sorted_planes(
+        [a_hi, a_lo, a_clo, a_chi], [b_hi, b_lo, b_clo, b_chi]
+    )
+    return _combine_merged_unique(merged, a_n + b_n, 2)
+
+
+@jax.jit
+def combine_sorted_unique_single(a_lo, a_clo, a_chi, a_n, b_lo, b_clo, b_chi, b_n):
+    """Single-plane (2k <= 32) variant of combine_sorted_unique."""
+    from .sort_pallas import merge_sorted_planes
+
+    merged = merge_sorted_planes(
+        [a_lo, a_clo, a_chi], [b_lo, b_clo, b_chi], n_keys=1
+    )
+    return _combine_merged_unique(merged, a_n + b_n, 1)
+
+
 @partial(jax.jit, static_argnames=("num_reads",))
 def hits_per_read(member: jnp.ndarray, owner: jnp.ndarray, num_reads: int):
     """Sum window-level DB hits per read (query.rs:87-94 multiplicity

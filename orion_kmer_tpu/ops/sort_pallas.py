@@ -632,6 +632,7 @@ def use_compact_pallas(n: int) -> bool:
     block = COMPACT_BLOCK_ROWS * _LANES
     return (
         jax.default_backend() == "tpu"
+        and (n & (n - 1)) == 0  # the pass ladder asserts a pow2 size
         and n % block == 0
         and n >= 2 * block
     )
@@ -664,26 +665,26 @@ def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
     return shi, slo
 
 
-def merge_sorted_planes(a_planes, b_planes):
-    """Merge two ascending-sorted plane tuples (keys = planes[0..1] as a
-    u64; further planes are payload).  Pallas bitonic merge when the
-    total is a power of two within range, lax.sort otherwise.  Payload
-    order within equal keys is unspecified (bitonic merges are not
-    stable)."""
+def merge_sorted_planes(a_planes, b_planes, n_keys: int = 2):
+    """Merge two ascending-sorted plane tuples (keys = the first
+    ``n_keys`` planes: 2 = u64 as a (hi, lo) pair, 1 = single u32;
+    further planes are payload).  Pallas bitonic merge when the total is
+    a power of two within range, lax.sort otherwise.  Payload order
+    within equal keys is unspecified (bitonic merges are not stable)."""
     n = a_planes[0].shape[0] + b_planes[0].shape[0]
     if not (use_pallas_sort() and _pallas_ok(n, 1 << 62)):
         cat = [
             jnp.concatenate([a, b]).astype(U32)
             for a, b in zip(a_planes, b_planes)
         ]
-        out = jax.lax.sort(tuple(cat), num_keys=2)
+        out = jax.lax.sort(tuple(cat), num_keys=n_keys)
         return [
             o.astype(p.dtype) for o, p in zip(out, a_planes)
         ]
     interpret = jax.default_backend() != "tpu"
     a32 = [p.astype(U32) for p in a_planes]
     b32 = [p.astype(U32) for p in b_planes]
-    out = _merge_halves(a32, b32, interpret=interpret)
+    out = _merge_halves(a32, b32, interpret=interpret, n_keys=n_keys)
     return [o.astype(p.dtype) for o, p in zip(out, a_planes)]
 
 

@@ -259,3 +259,77 @@ def test_count_accumulator_consolidation_bounds_runs():
     vals, counts = acc.result()
     np.testing.assert_array_equal(vals, base)
     np.testing.assert_array_equal(counts, [total[v] for v in base.tolist()])
+
+
+class TestDeviceResidentTable:
+    def test_multi_epoch_counts_exact(self, monkeypatch):
+        """Epoch RLE outputs fold into the device table; totals must be
+        exact across many flush epochs (device-side combine)."""
+        from orion_kmer_tpu.engine import DeviceCountTable
+
+        for k in (7, 21):
+            t = DeviceCountTable(k)
+            monkeypatch.setattr(t, "FLUSH_WINDOWS", 1, raising=False)
+            rng = np.random.default_rng(90 + k)
+            total = {}
+            from orion_kmer_tpu import codec
+
+            for _epoch in range(5):
+                codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+                t.update(codes)
+                t.flush()  # one epoch per update
+                for v, c in zip(*np.unique(
+                    codec.extract_kmers_np(codes, k), return_counts=True
+                )):
+                    total[int(v)] = total.get(int(v), 0) + int(c)
+            vals, counts = t.result()
+            exp_v = np.array(sorted(total), dtype=np.uint64)
+            np.testing.assert_array_equal(vals, exp_v)
+            np.testing.assert_array_equal(
+                counts, [total[int(v)] for v in exp_v]
+            )
+
+    def test_count_carry_past_u32(self):
+        """64-bit count planes: folding counts past 2^32 must carry."""
+        import jax.numpy as jnp
+
+        from orion_kmer_tpu.ops.count import combine_sorted_unique
+
+        S = 0xFFFFFFFF
+
+        def table(key_lo, cnt_lo):
+            # one valid entry + SENTINEL/0 tail (the combine contract)
+            return [
+                jnp.array([0, S, S, S], jnp.uint32),
+                jnp.array([key_lo, S, S, S], jnp.uint32),
+                jnp.array([cnt_lo, 0, 0, 0], jnp.uint32),
+                jnp.zeros(4, jnp.uint32),
+            ]
+
+        a = table(7, 0xFFFFFFFF)
+        out = combine_sorted_unique(*a, jnp.int32(1), *a, jnp.int32(1))
+        hi_, lo_, clo, chi, n = out
+        assert int(n) == 1
+        got = (int(np.asarray(chi)[0]) << 32) + int(np.asarray(clo)[0])
+        assert got == 2 * 0xFFFFFFFF  # carried into the high plane
+
+    def test_spill_path(self, monkeypatch):
+        """Past the capacity bound the table spills to the host tier and
+        results stay exact."""
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.engine import DeviceCountTable
+
+        t = DeviceCountTable(9)
+        monkeypatch.setattr(t, "DEVICE_TABLE_MAX", 8192, raising=False)
+        rng = np.random.default_rng(3)
+        allk = []
+        for _ in range(4):
+            codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+            t.update(codes)
+            t.flush()
+            allk.append(codec.extract_kmers_np(codes, 9))
+        assert t._acc._vals  # at least one spill happened
+        vals, counts = t.result()
+        ev, ec = np.unique(np.concatenate(allk), return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(counts, ec)
