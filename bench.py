@@ -169,19 +169,21 @@ def main() -> None:
         np.sort(rng.choice(BATCH, size=nr, replace=False)).astype(np.int32)
     )
 
+    # db/starts passed as ARGUMENTS: closed-over device arrays embed as
+    # executable constants (a 134 MB program, ~10 min to compile)
     @jax.jit
-    def query_step(lanes, inv, carry):
+    def query_step(lanes, inv, starts_, dbh, dbl, dbv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
         hits = _query_step_packed(
-            lanes, inv, starts, db_hi, db_lo, db_valid, K, nr, jnp.int32(BATCH)
+            lanes, inv, starts_, dbh, dbl, dbv, K, nr, jnp.int32(BATCH)
         )
         return jnp.sum(hits, dtype=jnp.int32) & 0x7FFF
 
-    int(query_step(dl, di, jnp.int32(0)))
+    int(query_step(dl, di, starts, db_hi, db_lo, db_valid, jnp.int32(0)))
     t0 = time.perf_counter()
     carry = jnp.int32(0)
     for _ in range(iters):
-        carry = query_step(dl, di, carry)
+        carry = query_step(dl, di, starts, db_hi, db_lo, db_valid, carry)
     int(carry)
     query_dt = (time.perf_counter() - t0) / iters
     query_windows_per_s = (BATCH - K + 1) / query_dt
