@@ -289,3 +289,28 @@ def test_classify_single_dispatch_per_db(tmp_path, monkeypatch):
     calls["n"] = 0
     assert run_cli("classify", "-i", inp, "-d", db, "-o", out) == 0
     assert calls["n"] == 1, f"expected 1 join dispatch for 6 refs, got {calls['n']}"
+
+
+def test_classify_chunked_joins_match_single(tmp_path, monkeypatch):
+    """Databases larger than MAX_JOIN chunk at reference boundaries; the
+    output must match the single-dispatch result exactly."""
+    import numpy as np
+
+    from orion_kmer_tpu.engine import ClassifyJoiner
+
+    rng = np.random.default_rng(8)
+    genomes = []
+    for i in range(5):
+        seq = "".join(rng.choice(list("ACGT"), size=300))
+        genomes.append(write_file(tmp_path / f"c{i}.fasta", f">c{i}\n{seq}\n"))
+    db = tmp_path / "c.db"
+    assert run_cli("build", "-k", 9, "-g", *genomes, "-o", db) == 0
+    inp = write_file(
+        tmp_path / "in.fasta",
+        ">r\n" + "".join(rng.choice(list("ACGT"), size=500)) + "\n",
+    )
+    o1, o2 = tmp_path / "one.json", tmp_path / "many.json"
+    assert run_cli("classify", "-i", inp, "-d", db, "-o", o1) == 0
+    monkeypatch.setattr(ClassifyJoiner, "MAX_JOIN", 400)  # force ~4 chunks
+    assert run_cli("classify", "-i", inp, "-d", db, "-o", o2) == 0
+    assert o1.read_text() == o2.read_text()
