@@ -75,8 +75,11 @@ def main() -> None:
             ^ jnp.sum(cnt.astype(jnp.uint32))
         ) + nu.astype(jnp.uint32)
 
-    def pipeline() -> int:
-        table = DeviceCountTable(K)
+    def pipeline(k: int) -> int:
+        # generic over the pair-plane k-classes: k=31 runs the (hi, lo)
+        # path, k=21 the narrowed (t u32, b u16) u48 path -- both keep
+        # 3-tuple (plane, plane, n) runs, so the flush checksum is shared
+        table = DeviceCountTable(k)
         for i in range(N_BATCHES):
             lanes, inv = batches[i % N_DISTINCT]
             table.update_packed(lanes, inv, BATCH, BATCH)
@@ -86,14 +89,24 @@ def main() -> None:
             cs = cs ^ checksum(*rle_compact(hi, lo, n_dev))
         return int(cs)  # single scalar fetch = fence; forces everything
 
-    pipeline()  # compile + warm every shape in the forest
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pipeline()
-        best = min(best, time.perf_counter() - t0)
+    def run_pipeline(k: int) -> float:
+        pipeline(k)  # compile + warm every shape in the forest
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipeline(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = run_pipeline(K)
     total_windows = N_BATCHES * (BATCH - K + 1)
     sustained_kmers_per_s = total_windows / best
+
+    # k=21: the other half of the BASELINE.json north-star metric --
+    # full pipeline on the 32 < 2k <= 48 narrowed-key path.
+    K21 = 21
+    best21 = run_pipeline(K21)
+    sustained_k21_kmers_per_s = (N_BATCHES * (BATCH - K21 + 1)) / best21
 
     # Secondary: the per-batch device step alone (extract + global sort),
     # checksum-consumed so nothing is DCE'd.
@@ -134,6 +147,27 @@ def main() -> None:
     int(carry)
     step15_dt = (time.perf_counter() - t0) / iters
     step15_kmers_per_s = (BATCH - 15 + 1) / step15_dt
+
+    # Secondary: the k=21 batch step on the narrowed-key u48 path
+    # ((t u32, b u16) chunk sorts: 6 bytes/element instead of 8).
+    from orion_kmer_tpu.ops.count import sort_canonical_packed_u48
+
+    @jax.jit
+    def step21(lanes, inv, carry):
+        inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
+        st, sb, nv = sort_canonical_packed_u48(lanes, inv, 21)
+        return (
+            jnp.sum(st, dtype=jnp.uint32) ^ jnp.sum(sb, dtype=jnp.uint32)
+        ).astype(jnp.int32) + nv
+
+    int(step21(dl, di, jnp.int32(0)))
+    t0 = time.perf_counter()
+    carry = jnp.int32(0)
+    for _ in range(iters):
+        carry = step21(dl, di, carry)
+    int(carry)
+    step21_dt = (time.perf_counter() - t0) / iters
+    step21_kmers_per_s = (BATCH - 21 + 1) / step21_dt
 
     # Secondary: FracMinHash sketching throughput (Gbp/s), wire-format path.
     from orion_kmer_tpu.ops.sketch import sketch_packed
@@ -216,6 +250,8 @@ def main() -> None:
         "total_positions": N_BATCHES * BATCH,
         "pipeline_seconds": round(best, 4),
         "batch_step_kmers_per_s": round(step_kmers_per_s, 1),
+        "sustained_k21_kmers_per_s": round(sustained_k21_kmers_per_s, 1),
+        "batch_step_k21_u48_kmers_per_s": round(step21_kmers_per_s, 1),
         "batch_step_k15_single_plane_kmers_per_s": round(step15_kmers_per_s, 1),
         "sketch_gbps_scaled1000": round(sketch_gbps, 3),
         "query_windows_per_s": round(query_windows_per_s, 1),

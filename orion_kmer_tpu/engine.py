@@ -452,6 +452,12 @@ class DeviceCountTable:
         # half the sort/merge/RLE bandwidth (the sort was ~45% of the
         # round-1 pipeline).  Run tuple: (lo, n_dev) vs (hi, lo, n_dev).
         self._single = 2 * k <= 32
+        # 32 < 2k <= 48: keys are narrowed to a (t u32, b u16) pair for
+        # the chunk sorts (ops.count.narrow_u48; k=21 is half the
+        # BASELINE.json north-star) -- the merge forest / RLE / combine
+        # path is the pair path verbatim on (t, b), and only _spill's
+        # u64 reconstruction differs
+        self._u48 = 32 < 2 * k <= 48
         self._tuple_len = 2 if self._single else 3
         # capacity (power of two) -> run tuple
         self._runs: dict[int, tuple] = {}
@@ -476,6 +482,10 @@ class DeviceCountTable:
             from .ops.count import sort_canonical_packed_single
 
             return sort_canonical_packed_single(lanes, inv_words, self.k)
+        if self._u48:
+            from .ops.count import sort_canonical_packed_u48
+
+            return sort_canonical_packed_u48(lanes, inv_words, self.k)
         from .ops.count import sort_canonical_packed
 
         return sort_canonical_packed(lanes, inv_words, self.k)
@@ -606,6 +616,13 @@ class DeviceCountTable:
             if self._single:
                 vals = np.asarray(planes[0][:n]).astype(np.uint64)
                 clo, chi = planes[1], planes[2]
+            elif self._u48:
+                from .ops.count import widen_u48_np
+
+                vals = widen_u48_np(
+                    np.asarray(planes[0][:n]), np.asarray(planes[1][:n]), self.k
+                )
+                clo, chi = planes[2], planes[3]
             else:
                 vals = join_u64(np.asarray(planes[0][:n]), np.asarray(planes[1][:n]))
                 clo, chi = planes[2], planes[3]

@@ -232,6 +232,92 @@ def rle_compact_single(slo: jnp.ndarray, n_valid):
     return _rle_sorted_single(slo, n_valid)
 
 
+def narrow_u48(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
+    """Order-preserving re-split of a 32 < 2k <= 48 canonical value
+    v = hi * 2^32 + lo (hi has only 2k-32 <= 16 live bits) into
+    (t = v >> (2k-32), b = v & (2^(2k-32) - 1)): t fills exactly 32
+    bits and b fits 16, so the sort's second key can be carried as a
+    uint16 plane -- 6 bytes/element through the XLA sort instead of 8.
+    Lexicographic (t, b) order == u64 order of v, and the SENTINEL pair
+    stays safe: a real b always has its top 16 bits clear, so
+    (0xFFFFFFFF, 0xFFFFFFFF) is never a data value (kmer.rs:37-57
+    MSB-first packing puts the first bases in hi).
+    """
+    b_bits = 2 * k - 32
+    assert 0 < b_bits <= 16, k
+    t = (hi << np.uint32(32 - b_bits)) | (lo >> np.uint32(b_bits))
+    b = lo & np.uint32((1 << b_bits) - 1)
+    return t, b
+
+
+def widen_u48_np(t: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """Host inverse of narrow_u48: (t, b) u32 planes -> u64 values."""
+    b_bits = 2 * k - 32
+    return (np.asarray(t, np.uint64) << np.uint64(b_bits)) | np.asarray(
+        b, np.uint64
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sort_canonical_packed_u48(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k: int):
+    """32 < 2k <= 48 specialization of sort_canonical_packed (k=17..24,
+    half the BASELINE.json north-star at k=21): keys are narrowed to a
+    (t u32, b u16) pair (narrow_u48), so the chunk lax.sorts move 6
+    bytes/element instead of 8.  Returns (t_sorted, b_sorted u32,
+    n_valid) -- the b plane is widened back to u32 on the way out so the
+    merge forest / RLE / combine pipeline is shared with the pair path
+    verbatim ((t, b) is lexicographically ordered exactly like the
+    (hi, lo) it replaces)."""
+    from .kmers_lanes import extract_canonical_lanes
+    from .sort_pallas import merge_sorted_streams
+
+    assert 32 < 2 * k <= 48, k
+    n_positions = lanes.shape[0] * 16
+    hi, lo, valid = extract_canonical_lanes(lanes, invalid_words, k, n_positions)
+    t, b = narrow_u48(hi.reshape(-1), lo.reshape(-1), k)
+    valid = valid.reshape(-1)
+    t = jnp.where(valid, t, SENTINEL)
+    b16 = jnp.where(valid, b, 0xFFFF).astype(jnp.uint16)
+    n_valid = valid.astype(jnp.int32).sum()
+    if n_positions % CHUNK_POSITIONS != 0 or n_positions <= CHUNK_POSITIONS:
+        st, sb = jax.lax.sort((t, b16), num_keys=2)
+        return st, _widen_b16(st, sb), n_valid
+
+    n_chunks = n_positions // CHUNK_POSITIONS
+
+    def chunk_body(_, xs):
+        ct, cb = xs
+        return (), jax.lax.sort((ct, cb), num_keys=2)
+
+    _, (st, sb) = jax.lax.scan(
+        chunk_body,
+        (),
+        (
+            t.reshape(n_chunks, CHUNK_POSITIONS),
+            b16.reshape(n_chunks, CHUNK_POSITIONS),
+        ),
+    )
+    runs = [(st[i], _widen_b16(st[i], sb[i])) for i in range(n_chunks)]
+    while len(runs) > 1:
+        merged = [
+            merge_sorted_streams(a[0], a[1], b_[0], b_[1])
+            for a, b_ in zip(runs[0::2], runs[1::2])
+        ]
+        if len(runs) % 2:
+            merged.append(runs[-1])
+        runs = merged
+    return runs[0][0], runs[0][1], n_valid
+
+
+def _widen_b16(st, sb):
+    """u16 b plane -> u32, restoring full-SENTINEL tails.  A REAL value
+    can never have t == SENTINEL for k <= 24: 16 leading T bases force
+    (via the canonical = min(v, rc) compare) the 16 trailing bases to A,
+    and those regions overlap for k < 32 -- so t alone identifies masked
+    slots, and downstream merges/RLE see the exact u32 SENTINEL pair."""
+    return jnp.where(st == SENTINEL, SENTINEL, sb.astype(U32))
+
+
 def _compact_left(planes, keep: jnp.ndarray, radix_bits: int = 1):
     # radix 1 measured fastest on TPU v5e (114.7/130.8/168.6 ms at 32M x3
     # planes for radix 1/2/3): passes are HBM-bound and the wider-radix
