@@ -77,6 +77,7 @@ def make_sharded_count_step(mesh: Mesh, k: int):
         mesh=mesh,
         in_specs=(P("shard"), P("shard")),
         out_specs=(P("shard", None), P("shard", None), P("shard", None), P("shard")),
+        check_vma=False,  # Pallas merge kernels have no vma info
     )
     return jax.jit(fn)
 
@@ -174,6 +175,7 @@ def make_sharded_count_step_a2a(mesh: Mesh, k: int, capacity_factor: float = 2.0
             P("shard"),
             P("shard"),
         ),
+        check_vma=False,  # Pallas merge kernels have no vma info
     )
     return jax.jit(fn)
 

