@@ -941,7 +941,7 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions
     B = batch_positions
     all_ids: list[bytes] = []
     all_lens: list[int] = []
-    hits: list[int] = []
+    hits = np.zeros(1024, dtype=np.int64)  # grown geometrically below
     # rolling coordinate space: positions relative to buf[0]; records
     # keep (start, region_end, rid) -- starts may go negative once a
     # record spans consumed batches (clamped to 0 at dispatch, matching
@@ -971,8 +971,11 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions
                 jnp.int32(n),
             )
         )
-        for i in range(nr):
-            hits[int(rids[i])] += int(step[i])
+        # vectorized accumulation: a per-record Python loop here is
+        # O(reads) interpreter work per batch on a 1-core host (rids can
+        # repeat across batches for halo-split records, so add.at, not
+        # fancy-index assignment)
+        np.add.at(hits, rids, step[:nr].astype(np.int64))
 
     try:
         for codes, rec_ends, ids in stream_native_chunks(
@@ -983,7 +986,10 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions
             rid_base = len(all_ids)
             all_ids.extend(ids)
             all_lens.extend((rec_ends - starts).tolist())
-            hits.extend([0] * len(ids))
+            if len(all_ids) > hits.shape[0]:
+                hits = np.concatenate(
+                    [hits, np.zeros(max(hits.shape[0], len(all_ids)), np.int64)]
+                )
             buf = np.concatenate([buf, codes]) if base else codes
             bstarts = np.concatenate([bstarts, base + starts])
             bends = np.concatenate([bends, base + rec_ends + sep])
@@ -1085,21 +1091,26 @@ class ClassifyJoiner:
 
 
 def intersection_size_host(a: np.ndarray, b: np.ndarray) -> int:
-    """Exact |A ∩ B| via the device sort-merge join (compare.rs:58)."""
+    """Exact |A ∩ B| via the device merge join (compare.rs:58).
+
+    Inputs must be sorted unique (DB dumps / count tables are).  Both
+    sides are padded to a COMMON power-of-two bucket so the merged
+    total is a power of two -- the Pallas bitonic-merge fast path of
+    ops.setops.intersection_size needs that; unequal buckets would
+    fall back to a full lax.sort of the concatenation."""
     from .ops.setops import intersection_size
 
     if a.shape[0] == 0 or b.shape[0] == 0:
         return 0
     ah, al = split_u64(a)
     bh, bl = split_u64(b)
-    asz = _bucket(a.shape[0], minimum=1)
-    bsz = _bucket(b.shape[0], minimum=1)
+    size = max(_bucket(a.shape[0], minimum=1), _bucket(b.shape[0], minimum=1))
     res = intersection_size(
-        jnp.asarray(_pad(ah, asz, 0)),
-        jnp.asarray(_pad(al, asz, 0)),
-        jnp.asarray(_pad(np.ones(a.shape[0], bool), asz, False)),
-        jnp.asarray(_pad(bh, bsz, 0)),
-        jnp.asarray(_pad(bl, bsz, 0)),
-        jnp.asarray(_pad(np.ones(b.shape[0], bool), bsz, False)),
+        jnp.asarray(_pad(ah, size, 0)),
+        jnp.asarray(_pad(al, size, 0)),
+        jnp.asarray(_pad(np.ones(a.shape[0], bool), size, False)),
+        jnp.asarray(_pad(bh, size, 0)),
+        jnp.asarray(_pad(bl, size, 0)),
+        jnp.asarray(_pad(np.ones(b.shape[0], bool), size, False)),
     )
     return int(res)

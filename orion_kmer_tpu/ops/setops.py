@@ -253,15 +253,27 @@ def classify_join(q_hi, q_lo, q_valid, db_hi, db_lo, db_valid):
 
 @jax.jit
 def intersection_size(a_hi, a_lo, a_valid, b_hi, b_lo, b_valid):
-    """|A intersect B| for two unique sets (compare.rs:58 semantics)."""
+    """|A intersect B| for two sorted-unique sets (compare.rs:58).
+
+    PRECONDITION: each side must be sorted ascending (as u64) over its
+    valid slots with invalid slots only in a trailing pad -- true for
+    every caller (DB dumps and count tables are sorted-unique;
+    engine.intersection_size_host pads tails).  Both operands being
+    sorted, the join is ONE bitonic merge of the sides instead of a
+    2-key lax.sort of the concatenation (a sort costs ~8x a merge at
+    2^27 elements; compare at large DB scale paid the difference).
+    Each value occurs at most once per side, so a value is shared iff
+    an adjacent merged pair has side markers {A, B}.
+    """
+    from .sort_pallas import merge_sorted_planes
+
     ah = jnp.where(a_valid, a_hi, SENTINEL)
     al = jnp.where(a_valid, a_lo, SENTINEL)
     bh = jnp.where(b_valid, b_hi, SENTINEL)
     bl = jnp.where(b_valid, b_lo, SENTINEL)
-    hi = jnp.concatenate([ah, bh])
-    lo = jnp.concatenate([al, bl])
-    valid = jnp.concatenate([a_valid, b_valid])
-    shi, slo, svalid = jax.lax.sort((hi, lo, valid.astype(U32)), num_keys=2)
-    eq_prev = (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])
-    both_valid = (svalid[1:] == 1) & (svalid[:-1] == 1)
-    return (eq_prev & both_valid).astype(jnp.int32).sum()
+    sa = jnp.where(a_valid, 0, 2).astype(U32)
+    sb = jnp.where(b_valid, 1, 2).astype(U32)
+    mh, ml, ms = merge_sorted_planes([ah, al, sa], [bh, bl, sb])
+    eq = (mh[1:] == mh[:-1]) & (ml[1:] == ml[:-1])
+    ab = eq & (ms[1:] + ms[:-1] == 1)  # exactly one A-valid + one B-valid
+    return ab.astype(jnp.int32).sum()
