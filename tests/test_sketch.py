@@ -190,3 +190,50 @@ def test_sketch_num_cap_bounded_and_exact(tmp_path, monkeypatch):
     exp_c = counts[order][:20]
     np.testing.assert_array_equal(got, exp_h)
     np.testing.assert_array_equal(np.array(doc["sketches"][0]["abundances"]), exp_c)
+
+
+def test_pairwise_intersections_matches_intersect1d():
+    """The one-sort all-pairs path must return exactly the per-pair
+    np.intersect1d sizes it replaces (VERDICT round 2 weak #5)."""
+    from orion_kmer_tpu.ops.sketch import pairwise_intersections
+
+    rng = np.random.default_rng(7)
+    P = 12
+    sketches = [
+        np.unique(rng.integers(0, 500, size=rng.integers(0, 200), dtype=np.uint64))
+        for _ in range(P)
+    ]
+    sketches[3] = np.empty(0, dtype=np.uint64)  # empty sketch edge
+    sketches[5] = sketches[2].copy()  # identical pair edge
+    mat = pairwise_intersections(sketches)
+    assert mat.shape == (P, P)
+    for i in range(P):
+        assert mat[i, i] == sketches[i].shape[0]
+        for j in range(P):
+            exp = len(np.intersect1d(sketches[i], sketches[j]))
+            if i != j:
+                assert mat[i, j] == exp, (i, j)
+    # symmetric
+    np.testing.assert_array_equal(mat, mat.T)
+
+
+def test_pairwise_intersections_scales():
+    """A 1000-sketch synthetic cohort completes in seconds (the old
+    O(P^2) intersect1d loop would do 500k host intersections)."""
+    import time
+
+    from orion_kmer_tpu.ops.sketch import pairwise_intersections
+
+    rng = np.random.default_rng(11)
+    base = np.unique(rng.integers(0, 1 << 60, size=400, dtype=np.uint64))
+    sketches = []
+    for _ in range(1000):
+        mask = rng.random(base.shape[0]) < 0.5
+        sketches.append(base[mask])
+    t0 = time.perf_counter()
+    mat = pairwise_intersections(sketches)
+    dt = time.perf_counter() - t0
+    assert dt < 30.0, dt
+    # spot-check a few pairs against the oracle
+    for i, j in [(0, 1), (17, 900), (499, 500)]:
+        assert mat[i, j] == len(np.intersect1d(sketches[i], sketches[j]))
