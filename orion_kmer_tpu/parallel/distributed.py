@@ -103,6 +103,99 @@ def multihost_sharded_count(codes, invalid, k: int):
     return vals[order], counts[order]
 
 
+_SMOKE_WORKER = '''
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+from orion_kmer_tpu.parallel.distributed import (
+    maybe_initialize_distributed,
+    multihost_sharded_count,
+)
+
+assert maybe_initialize_distributed(), "distributed init did not trigger"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+k = 9
+rng = np.random.default_rng(77)  # same seed in both processes
+codes = rng.integers(0, 4, size=4096, dtype=np.uint8)
+codes[rng.random(4096) < 0.02] = 255
+invalid = codes > 3
+
+vals, counts = multihost_sharded_count(codes, invalid, k)
+
+from orion_kmer_tpu import codec
+exp_v, exp_c = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+np.testing.assert_array_equal(vals, exp_v)
+np.testing.assert_array_equal(counts, exp_c)
+out = sys.argv[1]
+with open(out, "w") as f:
+    f.write(f"ok {jax.process_index()} {vals.shape[0]}")
+'''
+
+
+def run_two_process_smoke(work_dir, timeout: float = 240.0) -> dict:
+    """Spawn a 2-process jax.distributed run (2 CPU devices each -> a
+    4-device cross-process mesh), each process oracle-checking one
+    hash-range-sharded count step (the DCN-analog composition of
+    sharded.sharded_count).  Raises on any failure; returns
+    {"processes": 2, "devices": 4, "unique": N}.
+
+    Shared by tests/test_multihost.py and __graft_entry__'s
+    dryrun_multichip (VERDICT round 2 #7: the driver artifact should
+    prove the cross-process path, not just the single-process mesh).
+    """
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    work_dir = Path(work_dir)
+    work_dir.mkdir(parents=True, exist_ok=True)
+    worker = work_dir / "distributed_smoke_worker.py"
+    worker.write_text(_SMOKE_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo_root = str(Path(__file__).resolve().parent.parent.parent)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            ORION_KMER_COORDINATOR=f"127.0.0.1:{port}",
+            ORION_KMER_NUM_PROCESSES="2",
+            ORION_KMER_PROCESS_ID=str(pid),
+            PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker), str(work_dir / f"smoke_out{pid}")],
+                env=env,
+                cwd=repo_root,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    for pid, (p, (_so, se)) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"distributed smoke process {pid} failed:\n{se.decode()[-3000:]}"
+            )
+    r0 = (work_dir / "smoke_out0").read_text()
+    r1 = (work_dir / "smoke_out1").read_text()
+    if not (r0.startswith("ok 0 ") and r1.startswith("ok 1 ")):
+        raise RuntimeError(f"unexpected smoke outputs: {r0!r} {r1!r}")
+    if r0.split()[2] != r1.split()[2]:
+        raise RuntimeError(f"processes disagree on unique count: {r0!r} {r1!r}")
+    return {"processes": 2, "devices": 4, "unique": int(r0.split()[2])}
+
+
 def maybe_initialize_distributed() -> bool:
     """Initialize jax.distributed from env when configured; returns True
     if a multi-process runtime is active."""
