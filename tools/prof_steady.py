@@ -27,6 +27,13 @@ k = int(sys.argv[2]) if len(sys.argv) > 2 else 31
 if len(sys.argv) > 3:
     os.environ["ORION_KMER_BATCH"] = str(1 << int(sys.argv[3]))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize re-selects the TPU platform programmatically;
+    # the env var alone does not stick (CLAUDE.md)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from orion_kmer_tpu import engine  # noqa: E402
 from orion_kmer_tpu.engine import (  # noqa: E402
     DeviceCountTable,
@@ -41,6 +48,56 @@ print(f"backend={jax.default_backend()} batch={engine.DEFAULT_BATCH}")
 table = DeviceCountTable(k)
 if jax.default_backend() == "tpu":
     table.warm(max_depth=5)
+
+# --- microprobes: the three candidate bottlenecks in isolation ---
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# (a) scalar round-trip (dispatch+fetch RTT floor)
+x = jax.device_put(jnp.arange(1024, dtype=jnp.int32))
+int(x.sum())
+t0 = time.monotonic()
+for _ in range(8):
+    int(x.sum())
+rtt_ms = (time.monotonic() - t0) / 8 * 1e3
+
+# (b) host->device link: one batch worth of wire data (lanes + inv)
+lanes_h = np.zeros(engine.DEFAULT_BATCH // 16, np.uint32)
+inv_h = np.zeros(engine.DEFAULT_BATCH // 32, np.uint32)
+nbytes = lanes_h.nbytes + inv_h.nbytes
+int(jnp.asarray(lanes_h).sum())  # warm the transfer+sum programs
+t0 = time.monotonic()
+for _ in range(4):
+    a = jnp.asarray(lanes_h)
+    b = jnp.asarray(inv_h)
+    int(a.sum() + b.sum())  # scalar fetch = reliable fence; costs ~1 rtt
+xfer_ms = (time.monotonic() - t0) / 4 * 1e3 - rtt_ms
+print(
+    f"microprobe: scalar rtt {rtt_ms:.1f} ms; "
+    f"batch transfer {xfer_ms:.1f} ms ({nbytes / 1e6:.2f} MB -> "
+    f"{nbytes / 1e6 / (xfer_ms / 1e3):.1f} MB/s)",
+    flush=True,
+)
+
+# (c) pure dispatch+compute: update_packed on pre-staged device arrays,
+# fenced once via the flush scalar (no per-iter transfer, no fetch)
+dl = jax.device_put(jnp.asarray(lanes_h))
+di = jax.device_put(jnp.full(engine.DEFAULT_BATCH // 32, 0xFFFFFFFF, jnp.uint32))
+t2 = DeviceCountTable(k)
+iters = 8
+t0 = time.monotonic()
+for _ in range(iters):
+    t2.update_packed(dl, di, engine.DEFAULT_BATCH, engine.DEFAULT_BATCH)
+# fence on the merged key planes themselves (an output fetch waits for
+# the producing program; n_valid alone wouldn't force the merges)
+total_n = sum(int(r[0][0]) + int(r[-1]) for r in t2._runs.values())
+disp_only_ms = (time.monotonic() - t0) / iters * 1e3
+print(
+    f"microprobe: device-resident update_packed {disp_only_ms:.1f} ms/batch "
+    f"({engine.DEFAULT_BATCH / (disp_only_ms / 1e3) / 1e6:.0f}M pos/s)",
+    flush=True,
+)
+del t2
 
 wait_s = 0.0  # consumer blocked on prefetch queue (host/transfer bound)
 disp_s = 0.0  # update_packed dispatch time (enqueue; async unless it blocks)
