@@ -729,12 +729,44 @@ def _staged_batches(path, k: int, normalize: bool):
     thread: jnp.asarray inside the generator starts the host->device
     copy before the consumer dispatches, so link transfer overlaps
     device compute (it was serialized with the dispatch loop before --
-    on ~30 MB/s tunneled hosts the link is a first-order term)."""
-    for batch in stream_file_batches(path, k, normalize=normalize):
-        n = batch.codes.shape[0]
-        size = _bucket(n)
-        lanes, inv_words = pack_for_transfer(batch.codes, size)
-        yield jnp.asarray(lanes), jnp.asarray(inv_words), size, n
+    on ~30 MB/s tunneled hosts the link is a first-order term).
+
+    ORION_KMER_STAGE_THREADS=N (default 1) additionally fans the
+    transfers over N threads with an order-preserving bounded window:
+    if the backend's host->device copy blocks per call (tunneled PJRT
+    transports pay an RTT + serialized bandwidth per transfer), N
+    in-flight transfers pipeline the link instead of paying latency
+    per batch.  Order and results are identical by construction.
+    """
+    stage = max(1, int(os.environ.get("ORION_KMER_STAGE_THREADS", "1")))
+
+    def packed():
+        for batch in stream_file_batches(path, k, normalize=normalize):
+            n = batch.codes.shape[0]
+            size = _bucket(n)
+            lanes, inv_words = pack_for_transfer(batch.codes, size)
+            yield lanes, inv_words, size, n
+
+    if stage == 1:
+        for lanes, inv_words, size, n in packed():
+            yield jnp.asarray(lanes), jnp.asarray(inv_words), size, n
+        return
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def to_dev(item):
+        lanes, inv_words, size, n = item
+        return jnp.asarray(lanes), jnp.asarray(inv_words), size, n
+
+    with ThreadPoolExecutor(max_workers=stage) as ex:
+        window: deque = deque()
+        for item in packed():
+            window.append(ex.submit(to_dev, item))
+            if len(window) > stage:
+                yield window.popleft().result()
+        while window:
+            yield window.popleft().result()
 
 
 def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.ndarray]:

@@ -333,3 +333,41 @@ class TestDeviceResidentTable:
         ev, ec = np.unique(np.concatenate(allk), return_counts=True)
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(counts, ec)
+
+
+def test_staged_batches_threaded_order_and_equality(tmp_path, monkeypatch):
+    """ORION_KMER_STAGE_THREADS>1 fans transfers over a thread pool with
+    an order-preserving window; batches must arrive in the same order
+    with the same contents as the serial path (engine.py::_staged_batches)."""
+    from orion_kmer_tpu.engine import _staged_batches
+
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ACGT"), size=int(n))) for n in rng.integers(200, 5000, size=40)]
+    p = tmp_path / "many.fa"
+    p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    k = 9
+
+    # small batches force many staged items through the window
+    # (batch_positions is an import-time default arg, so wrap the streamer)
+    import functools
+
+    monkeypatch.setattr(
+        "orion_kmer_tpu.engine.stream_file_batches",
+        functools.partial(stream_file_batches, batch_positions=1 << 12),
+    )
+
+    def collect():
+        return [
+            (np.asarray(lanes), np.asarray(inv), size, n)
+            for lanes, inv, size, n in _staged_batches(p, k, True)
+        ]
+
+    monkeypatch.setenv("ORION_KMER_STAGE_THREADS", "1")
+    serial = collect()
+    monkeypatch.setenv("ORION_KMER_STAGE_THREADS", "4")
+    staged = collect()
+    assert len(serial) == len(staged) and len(serial) > 4
+    for (l0, i0, s0, n0), (l1, i1, s1, n1) in zip(serial, staged):
+        assert s0 == s1 and n0 == n1
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(i0, i1)
