@@ -6,7 +6,7 @@ parse/pack/transfer not keeping up, or transfer serializing with
 execution) vs how long each update_packed dispatch takes (device/RTT
 bound).  Run from /root/repo with the TPU backend:
 
-    python prof_steady.py /tmp/vfy/ecoli100m.fastq [k] [batch_log2]
+    python tools/prof_steady.py /tmp/vfy/ecoli100m.fastq [k] [batch_log2] [warm_depth]
 
 Prints a per-phase table and the steady-state positions/s.
 """
@@ -45,9 +45,10 @@ import jax  # noqa: E402
 
 print(f"backend={jax.default_backend()} batch={engine.DEFAULT_BATCH}")
 
+warm_depth = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 table = DeviceCountTable(k)
 if jax.default_backend() == "tpu":
-    table.warm(max_depth=5)
+    table.warm(max_depth=warm_depth)
 
 # --- microprobes: the three candidate bottlenecks in isolation ---
 import numpy as np  # noqa: E402
