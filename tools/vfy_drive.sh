@@ -6,6 +6,7 @@ T python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta -o /tmp/vfy/big31b.
 cmp /tmp/vfy/big31.tsv /tmp/vfy/big31b.tsv && echo DETERMINISM-OK
 T python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta.gz -o /tmp/vfy/big31gz.tsv
 cmp /tmp/vfy/big31.tsv /tmp/vfy/big31gz.tsv && echo GZ-OK
+T python -m orion_kmer_tpu count -k 21 -i /tmp/vfy/big.fasta -o /tmp/vfy/big21.tsv
 T python -m orion_kmer_tpu count -k 15 -i /tmp/vfy/big.fasta -o /tmp/vfy/big15.tsv
 T python -m orion_kmer_tpu count -k 32 -i /tmp/vfy/tedge.fasta -o /tmp/vfy/t32.tsv
 cat /tmp/vfy/t32.tsv
