@@ -137,8 +137,15 @@ def run_sketch_compare(args) -> None:
     entries = []
     for p, d in zip(args.sketch_files, docs):
         for s in d["sketches"]:
+            # np.unique: our own writer emits sorted-unique hashes, but a
+            # hand-edited .sig with duplicates would break the set
+            # semantics of the pairwise join (and its sorted-input
+            # precondition) -- enforce both at load
             entries.append(
-                (s["name"], np.array([int(h) for h in s["hashes"]], dtype=np.uint64))
+                (
+                    s["name"],
+                    np.unique(np.array([int(h) for h in s["hashes"]], dtype=np.uint64)),
+                )
             )
 
     # all-pairs intersections from ONE sort of the concatenated hash

@@ -151,6 +151,7 @@ def run_two_process_smoke(work_dir, timeout: float = 240.0) -> dict:
     import socket
     import subprocess
     import sys
+    import time
     from pathlib import Path
 
     work_dir = Path(work_dir)
@@ -181,7 +182,23 @@ def run_two_process_smoke(work_dir, timeout: float = 240.0) -> dict:
                 stderr=subprocess.PIPE,
             )
         )
-    outs = [p.communicate(timeout=timeout) for p in procs]
+    # one shared deadline across both processes (sequential communicates
+    # would allow 2x the stated timeout), and ALWAYS reap on failure: an
+    # orphaned worker blocks forever in the jax.distributed coordinator
+    # barrier, violating this machine's one-client process hygiene
+    deadline = time.monotonic() + timeout
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=max(1.0, deadline - time.monotonic())))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        raise RuntimeError(
+            f"distributed smoke timed out after {timeout:.0f}s; workers killed"
+        ) from None
     for pid, (p, (_so, se)) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(

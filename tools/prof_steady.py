@@ -18,8 +18,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-import os
-import sys
 import time
 
 path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vfy/ecoli100m.fastq"

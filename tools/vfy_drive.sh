@@ -1,7 +1,12 @@
 set -x
 cd /root/repo
-T() { timeout 1800 "$@"; echo "rc=$?"; }
-T python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta -o /tmp/vfy/big31.tsv
+# One-shot CLI processes pay a per-process executable-load ladder that is
+# ~2-3x taller with Pallas merges (CLAUDE.md): run the matrix with the
+# XLA merge path, EXCEPT the first k=31 count which keeps Pallas enabled
+# so the default-path merges are verified end-to-end too.  The cmp of
+# the two k=31 runs then checks determinism AND Pallas==XLA byte-equality.
+T() { timeout 1800 env ORION_KMER_PALLAS_SORT=0 "$@"; echo "rc=$?"; }
+timeout 1800 python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta -o /tmp/vfy/big31.tsv; echo "rc=$?"
 T python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta -o /tmp/vfy/big31b.tsv
 cmp /tmp/vfy/big31.tsv /tmp/vfy/big31b.tsv && echo DETERMINISM-OK
 T python -m orion_kmer_tpu count -k 31 -i /tmp/vfy/big.fasta.gz -o /tmp/vfy/big31gz.tsv

@@ -1,12 +1,51 @@
-"""Verification fixture generator (host-only, no jax)."""
+"""Verification fixture generator (host-only, no jax).
+
+    python tools/vfy_gen.py            # the CLI-matrix fixtures
+    python tools/vfy_gen.py --steady   # + /tmp/vfy/ecoli100m.fastq (100 Mbp)
+"""
 import gzip
+import os
+import sys
+
 import numpy as np
+
+os.makedirs("/tmp/vfy", exist_ok=True)
 
 rng = np.random.default_rng(42)
 B = b"ACGT"
 
 def rand_seq(n, rng):
     return bytes(rng.choice(list(B), size=n).astype(np.uint8))
+
+# steady-state profiling fixture (tools/vfy_steady_drive.sh): 100 Mbp of
+# 150 bp FASTQ reads.  The original was trimmed from an E. coli-like
+# synthetic read set; on regeneration uniform-random reads are
+# equivalent -- prof_steady.py measures throughput, not content.
+if "--steady" in sys.argv:
+    path = "/tmp/vfy/ecoli100m.fastq"
+    if not os.path.exists(path):
+        srng = np.random.default_rng(7)
+        lut = np.frombuffer(B, dtype=np.uint8)
+        with open(path + ".part", "wb") as f:
+            qual = b"I" * 150
+            n_reads = 100_000_000 // 150
+            chunk = 10_000
+            for base in range(0, n_reads, chunk):
+                m = min(chunk, n_reads - base)
+                seqs = lut[srng.integers(0, 4, size=(m, 150))]
+                rows = []
+                for i in range(m):
+                    rows.append(b"@sr%d\n" % (base + i))
+                    rows.append(seqs[i].tobytes())
+                    rows.append(b"\n+\n")
+                    rows.append(qual)
+                    rows.append(b"\n")
+                f.write(b"".join(rows))
+        os.replace(path + ".part", path)
+        print("steady fixture done:", path)
+    else:
+        print("steady fixture exists:", path)
+    sys.exit(0)
 
 # big.fasta: ~9 Mb, multi-record, N runs, multi-line, mixed case
 with open("/tmp/vfy/big.fasta", "wb") as f:

@@ -5,6 +5,9 @@ set -x
 cd /root/repo
 F=/tmp/vfy/ecoli100m.fastq
 
+# regenerate the fixture if /tmp was wiped (host-only, no jax)
+[ -s "$F" ] || python tools/vfy_gen.py --steady || { echo "FIXTURE GEN FAILED"; exit 1; }
+
 # tunnel must be healthy first
 timeout 150 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
 
