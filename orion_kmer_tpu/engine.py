@@ -458,6 +458,13 @@ class DeviceCountTable:
         # path is the pair path verbatim on (t, b), and only _spill's
         # u64 reconstruction differs
         self._u48 = 32 < 2 * k <= 48
+        # ORION_KMER_U16_FOREST=1: carry b as a REAL u16 plane through
+        # the merge forest (6 bytes/element instead of 8, ~25% less
+        # merge traffic; ops/merge_mixed.py).  Off by default until the
+        # Mosaic u16 compare-exchange path is validated on the chip.
+        from .ops.merge_mixed import u16_forest_enabled
+
+        self._n16 = self._u48 and u16_forest_enabled()
         self._tuple_len = 2 if self._single else 3
         # capacity (power of two) -> run tuple
         self._runs: dict[int, tuple] = {}
@@ -483,6 +490,10 @@ class DeviceCountTable:
 
             return sort_canonical_packed_single(lanes, inv_words, self.k)
         if self._u48:
+            if self._n16:
+                from .ops.merge_mixed import sort_canonical_packed_u48_n16
+
+                return sort_canonical_packed_u48_n16(lanes, inv_words, self.k)
             from .ops.count import sort_canonical_packed_u48
 
             return sort_canonical_packed_u48(lanes, inv_words, self.k)
@@ -506,6 +517,11 @@ class DeviceCountTable:
             from .ops.sort_pallas import merge_sorted_single
 
             return (merge_sorted_single(a[0], b[0]), a[1] + b[1])
+        if self._n16:
+            from .ops.merge_mixed import merge_sorted_streams_u48
+
+            mt, mb = merge_sorted_streams_u48(a[0], a[1], b[0], b[1])
+            return (mt, mb, a[2] + b[2])
         from .ops.sort_pallas import merge_sorted_streams
 
         mhi, mlo = merge_sorted_streams(a[0], a[1], b[0], b[1])
@@ -536,6 +552,13 @@ class DeviceCountTable:
             if self._single:
                 dummy = (jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero)
                 rle_compact_single(dummy[0], zero)
+            elif self._n16:
+                from .ops.merge_mixed import rle_compact_u48
+
+                plane = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
+                b16 = jnp.full(cap, 0xFFFF, jnp.uint16)
+                dummy = (plane, b16, zero)
+                rle_compact_u48(plane, b16, zero)
             else:
                 plane = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
                 dummy = (plane, plane, zero)
@@ -641,6 +664,14 @@ class DeviceCountTable:
                 lo, n_dev = self._runs[cap]
                 ulo, ucnt, n_u = rle_compact_single(lo, n_dev)
                 key_planes, cnt = [ulo], ucnt
+            elif self._n16:
+                from .ops.merge_mixed import rle_compact_u48
+
+                t, b16, n_dev = self._runs[cap]
+                # widens b in-program; output planes are u32 so the
+                # fold/combine/spill tier is shared with the pair path
+                uhi, ulo, ucnt, n_u = rle_compact_u48(t, b16, n_dev)
+                key_planes, cnt = [uhi, ulo], ucnt
             else:
                 hi, lo, n_dev = self._runs[cap]
                 uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
