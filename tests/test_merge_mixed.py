@@ -173,6 +173,22 @@ class TestEngineU16Forest:
         np.testing.assert_array_equal(v16, exp_v)
         np.testing.assert_array_equal(c16, exp_c)
 
+    def test_count_file_flag_parity(self, tmp_path, monkeypatch):
+        """The full CLI ingest path (native parse -> prefetch -> forest
+        -> spill) under the flag matches the default path byte-for-byte."""
+        from orion_kmer_tpu.engine import count_file
+
+        rng = np.random.default_rng(11)
+        seq = bytes(rng.choice(list(b"ACGTN"), size=40000, p=[0.24, 0.24, 0.24, 0.24, 0.04]).astype(np.uint8))
+        fa = tmp_path / "in.fasta"
+        fa.write_bytes(b">r0\n" + seq + b"\n")
+        monkeypatch.setenv("ORION_KMER_U16_FOREST", "1")
+        v16, c16 = count_file(fa, 21)
+        monkeypatch.setenv("ORION_KMER_U16_FOREST", "0")
+        v32, c32 = count_file(fa, 21)
+        np.testing.assert_array_equal(v16, v32)
+        np.testing.assert_array_equal(c16, c32)
+
     def test_warm_and_flush_midstream(self, monkeypatch):
         monkeypatch.setenv("ORION_KMER_U16_FOREST", "1")
         from orion_kmer_tpu.engine import DeviceCountTable
