@@ -335,4 +335,81 @@ long okt_pack_wire_multi(const uint8_t* codes, const uint8_t* invalid,
     return OKT_OK;
 }
 
+// Merge two sorted-unique (vals u64, counts i64) runs, summing counts
+// of values present in both -- the host overflow tier of the LSM count
+// table (engine.CountAccumulator; one-count-per-key semantics of the
+// reference's count.rs:106-135).  A linear two-pointer pass: the numpy
+// searchsorted interleave this replaces ran at ~2.2M elems/s on the
+// 1-core host (binary searches, cache-hostile); this is a sequential
+// memory-bound scan.  out_v/out_c must hold n1 + n2; returns the number
+// of merged uniques.
+long okt_merge_unique(const uint64_t* v1, const int64_t* c1, long n1,
+                      const uint64_t* v2, const int64_t* c2, long n2,
+                      uint64_t* out_v, int64_t* out_c) {
+    long i = 0, j = 0, o = 0;
+    while (i < n1 && j < n2) {
+        uint64_t a = v1[i], b = v2[j];
+        if (a < b) {
+            out_v[o] = a;
+            out_c[o++] = c1[i++];
+        } else if (b < a) {
+            out_v[o] = b;
+            out_c[o++] = c2[j++];
+        } else {
+            out_v[o] = a;
+            out_c[o++] = c1[i++] + c2[j++];
+        }
+    }
+    while (i < n1) {
+        out_v[o] = v1[i];
+        out_c[o++] = c1[i++];
+    }
+    while (j < n2) {
+        out_v[o] = v2[j];
+        out_c[o++] = c2[j++];
+    }
+    return o;
+}
+
+// K-way variant: merge r sorted-unique runs in ONE pass with ONE output
+// allocation.  On this VM first-touch page faults on a fresh output
+// buffer cost ~10x the merge scan itself (measured ~4.4 s faults vs
+// 0.3 s scan at 2x20M), so a pairwise reduction pays that fault bill
+// once per level; the k-way pass pays it once total.  Linear head scan
+// per output element -- O(N*r), fine for the accumulator's small run
+// counts (consolidation bounds r); callers cap r.
+long okt_merge_unique_kway(const uint64_t* const* vs, const int64_t* const* cs,
+                           const long* ns, long r,
+                           uint64_t* out_v, int64_t* out_c) {
+    long* idx = new long[r];
+    for (long i = 0; i < r; ++i) idx[i] = 0;
+    long o = 0;
+    long live = 0;
+    for (long i = 0; i < r; ++i) live += (ns[i] > 0);
+    while (live > 1) {
+        uint64_t m = ~0ull;
+        for (long i = 0; i < r; ++i)
+            if (idx[i] < ns[i] && vs[i][idx[i]] < m) m = vs[i][idx[i]];
+        int64_t cnt = 0;
+        for (long i = 0; i < r; ++i) {
+            if (idx[i] < ns[i] && vs[i][idx[i]] == m) {
+                cnt += cs[i][idx[i]];
+                if (++idx[i] == ns[i]) --live;
+            }
+        }
+        out_v[o] = m;
+        out_c[o++] = cnt;
+    }
+    for (long i = 0; i < r; ++i) {
+        long rem = ns[i] - idx[i];
+        if (rem > 0) {
+            std::memcpy(out_v + o, vs[i] + idx[i], rem * sizeof(uint64_t));
+            std::memcpy(out_c + o, cs[i] + idx[i], rem * sizeof(int64_t));
+            o += rem;
+        }
+    }
+    delete[] idx;
+    return o;
+}
+
 }  // extern "C"

@@ -101,6 +101,26 @@ def _load():
                 ctypes.c_void_p,  # lanes
                 ctypes.c_void_p,  # invalid_words
             ]
+            lib.okt_merge_unique.restype = ctypes.c_long
+            lib.okt_merge_unique.argtypes = [
+                ctypes.c_void_p,  # v1
+                ctypes.c_void_p,  # c1
+                ctypes.c_long,  # n1
+                ctypes.c_void_p,  # v2
+                ctypes.c_void_p,  # c2
+                ctypes.c_long,  # n2
+                ctypes.c_void_p,  # out_v
+                ctypes.c_void_p,  # out_c
+            ]
+            lib.okt_merge_unique_kway.restype = ctypes.c_long
+            lib.okt_merge_unique_kway.argtypes = [
+                ctypes.c_void_p,  # vs (uint64_t**)
+                ctypes.c_void_p,  # cs (int64_t**)
+                ctypes.c_void_p,  # ns (long*)
+                ctypes.c_long,  # r
+                ctypes.c_void_p,  # out_v
+                ctypes.c_void_p,  # out_c
+            ]
             lib.okt_pack_wire_multi.restype = ctypes.c_long
             lib.okt_pack_wire_multi.argtypes = [
                 ctypes.c_void_p,  # codes
@@ -200,6 +220,104 @@ def parse_fastx_packed(
         data, k, normalize=normalize, eof=True, source=source
     )
     return codes, rec_end, ids
+
+
+def merge_unique(v1, c1, v2, c2):
+    """Native merge of two sorted-unique (vals u64, counts i64) runs,
+    summing counts of shared values.  ~100x the numpy searchsorted
+    interleave on the 1-core host (see engine._merge_sorted_unique_runs,
+    which calls this when available)."""
+    lib = _load()
+    assert lib is not None, "native ingest not available"
+    v1 = np.ascontiguousarray(v1, dtype=np.uint64)
+    v2 = np.ascontiguousarray(v2, dtype=np.uint64)
+    c1 = np.ascontiguousarray(c1, dtype=np.int64)
+    c2 = np.ascontiguousarray(c2, dtype=np.int64)
+    n1, n2 = v1.shape[0], v2.shape[0]
+    out_v = np.empty(n1 + n2, dtype=np.uint64)
+    out_c = np.empty(n1 + n2, dtype=np.int64)
+    _advise_hugepages(out_v)
+    _advise_hugepages(out_c)
+    n = lib.okt_merge_unique(
+        v1.ctypes.data_as(ctypes.c_void_p),
+        c1.ctypes.data_as(ctypes.c_void_p),
+        n1,
+        v2.ctypes.data_as(ctypes.c_void_p),
+        c2.ctypes.data_as(ctypes.c_void_p),
+        n2,
+        out_v.ctypes.data_as(ctypes.c_void_p),
+        out_c.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n == n1 + n2:
+        return out_v, out_c
+    return out_v[:n].copy(), out_c[:n].copy()
+
+
+# Past this, the O(N*r) linear head scan of the k-way merge loses to a
+# pairwise reduction; the accumulator's consolidation keeps r far below
+# it in practice.
+MAX_KWAY = 32
+
+_MADV_HUGEPAGE = 14
+_libc = None
+
+
+def _advise_hugepages(arr: np.ndarray) -> None:
+    """madvise(MADV_HUGEPAGE) a fresh numpy buffer before first touch.
+
+    First-touch page faults dominate large merge outputs on this host
+    (measured ~4.4 s to fault 640 MB vs ~0.3 s to write it); with THP in
+    madvise mode (the kernel default here) 2 MB pages cut the fault count
+    512x (~2-3x measured wall win).  Best-effort: silently a no-op when
+    libc/THP are unavailable."""
+    global _libc
+    try:
+        if _libc is None:
+            _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        page = 4096
+        addr = arr.ctypes.data
+        aligned = (addr + page - 1) // page * page
+        length = arr.nbytes - (aligned - addr)
+        if length > 1 << 22:
+            _libc.madvise(
+                ctypes.c_void_p(aligned),
+                ctypes.c_size_t(length),
+                ctypes.c_int(_MADV_HUGEPAGE),
+            )
+    except OSError:  # pragma: no cover - platform without libc semantics
+        pass
+
+
+def merge_unique_kway(vals: list, counts: list):
+    """Native k-way merge of r sorted-unique (vals u64, counts i64)
+    runs in one pass -- one output allocation total (first-touch page
+    faults on fresh buffers cost ~10x the merge scan on this VM, so a
+    pairwise reduction pays them once per level)."""
+    lib = _load()
+    assert lib is not None, "native ingest not available"
+    r = len(vals)
+    assert 1 <= r <= MAX_KWAY
+    vs = [np.ascontiguousarray(v, dtype=np.uint64) for v in vals]
+    cs = [np.ascontiguousarray(c, dtype=np.int64) for c in counts]
+    ns = np.array([v.shape[0] for v in vs], dtype=np.int64)
+    total = int(ns.sum())
+    vptrs = np.array([v.ctypes.data for v in vs], dtype=np.uintp)
+    cptrs = np.array([c.ctypes.data for c in cs], dtype=np.uintp)
+    out_v = np.empty(total, dtype=np.uint64)
+    out_c = np.empty(total, dtype=np.int64)
+    _advise_hugepages(out_v)
+    _advise_hugepages(out_c)
+    n = lib.okt_merge_unique_kway(
+        vptrs.ctypes.data_as(ctypes.c_void_p),
+        cptrs.ctypes.data_as(ctypes.c_void_p),
+        ns.ctypes.data_as(ctypes.c_void_p),
+        r,
+        out_v.ctypes.data_as(ctypes.c_void_p),
+        out_c.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n == total:
+        return out_v, out_c
+    return out_v[:n].copy(), out_c[:n].copy()
 
 
 def pack_wire(codes: np.ndarray, size: int):

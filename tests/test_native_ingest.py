@@ -124,3 +124,104 @@ def test_pack_wire_matches_numpy_path():
         inv_words = np.packbits(invalid, bitorder="little").view(np.uint32)
         np.testing.assert_array_equal(got_lanes, lanes)
         np.testing.assert_array_equal(got_inv, inv_words)
+
+
+def _np_merge_oracle(vals, counts):
+    av = np.concatenate(vals) if vals else np.empty(0, np.uint64)
+    ac = np.concatenate(counts) if counts else np.empty(0, np.int64)
+    ev, inv = np.unique(av, return_inverse=True)
+    ec = np.zeros(ev.shape[0], np.int64)
+    if av.shape[0]:
+        np.add.at(ec, inv, ac)
+    return ev, ec
+
+
+def test_merge_unique_matches_oracle():
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(13)
+    for _ in range(100):
+        n1, n2 = rng.integers(0, 60, size=2)
+        v1 = np.unique(rng.integers(0, 80, size=n1, dtype=np.uint64))
+        v2 = np.unique(rng.integers(0, 80, size=n2, dtype=np.uint64))
+        c1 = rng.integers(1, 9, size=v1.shape[0]).astype(np.int64)
+        c2 = rng.integers(1, 9, size=v2.shape[0]).astype(np.int64)
+        gv, gc = native.merge_unique(v1, c1, v2, c2)
+        ev, ec = _np_merge_oracle([v1, v2], [c1, c2])
+        np.testing.assert_array_equal(gv, ev)
+        np.testing.assert_array_equal(gc, ec)
+    # u64 extremes and large counts survive
+    gv, gc = native.merge_unique(
+        np.array([0, 2**63, 2**64 - 1], np.uint64),
+        np.array([1, 2**61, 5], np.int64),
+        np.array([2**63], np.uint64),
+        np.array([2**61], np.int64),
+    )
+    assert gv.tolist() == [0, 2**63, 2**64 - 1]
+    assert gc.tolist() == [1, 2**62, 5]
+
+
+def test_merge_unique_kway_matches_oracle():
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(14)
+    for _ in range(100):
+        r = int(rng.integers(1, 9))
+        vals, counts = [], []
+        for _i in range(r):
+            n = int(rng.integers(0, 50))
+            v = np.unique(rng.integers(0, 90, size=n, dtype=np.uint64))
+            vals.append(v)
+            counts.append(rng.integers(1, 9, size=v.shape[0]).astype(np.int64))
+        gv, gc = native.merge_unique_kway(vals, counts)
+        ev, ec = _np_merge_oracle(vals, counts)
+        np.testing.assert_array_equal(gv, ev)
+        np.testing.assert_array_equal(gc, ec)
+    # all-heads-at-u64-max edge (the min-scan sentinel value is a legal key)
+    gv, gc = native.merge_unique_kway(
+        [np.array([2**64 - 1], np.uint64)] * 3 + [np.array([5], np.uint64)],
+        [np.array([3], np.int64), np.array([4], np.int64), np.array([6], np.int64),
+         np.array([1], np.int64)],
+    )
+    assert gv.tolist() == [5, 2**64 - 1]
+    assert gc.tolist() == [1, 13]
+
+
+def test_count_accumulator_native_vs_fallback(monkeypatch):
+    """CountAccumulator end-to-end: the native k-way path and the numpy
+    pairwise fallback must agree exactly (overlapping runs force count
+    summation across more than two runs at once)."""
+    from orion_kmer_tpu.engine import CountAccumulator
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(15)
+    runs = []
+    base = np.unique(rng.integers(0, 5000, size=3000, dtype=np.uint64))
+    for _ in range(6):
+        v = np.unique(
+            np.concatenate(
+                [
+                    rng.choice(base, size=800, replace=False),
+                    rng.integers(0, 1 << 62, size=500, dtype=np.uint64),
+                ]
+            )
+        )
+        runs.append((v, rng.integers(1, 9, size=v.shape[0]).astype(np.int64)))
+
+    def feed():
+        acc = CountAccumulator()
+        for v, c in runs:
+            acc.add(v, c)
+        return acc.result()
+
+    v_native, c_native = feed()
+    monkeypatch.setattr(native, "available", lambda: False)
+    v_np, c_np = feed()
+    np.testing.assert_array_equal(v_native, v_np)
+    np.testing.assert_array_equal(c_native, c_np)
