@@ -670,10 +670,13 @@ class DeviceCountTable:
             else:
                 vals = join_u64(np.asarray(planes[0][:n]), np.asarray(planes[1][:n]))
                 clo, chi = planes[2], planes[3]
-            counts = (
-                np.asarray(clo[:n]).astype(np.int64)
-                + (np.asarray(chi[:n]).astype(np.int64) << 32)
-            )
+            counts = np.asarray(clo[:n]).astype(np.int64)
+            # the high count plane is all-zero unless some k-mer passed
+            # 2^32 occurrences: probe with ONE device scalar (~28 ms RTT
+            # through the tunnel) instead of always fetching 4 B/key
+            # (~6 s per 40M-unique spill at the ~25 MB/s link)
+            if bool(jnp.any(chi[:n] != 0)):
+                counts += np.asarray(chi[:n]).astype(np.int64) << 32
             self._acc.add(vals, counts)
         self._table = None
 

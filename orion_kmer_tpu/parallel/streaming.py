@@ -559,8 +559,16 @@ class ShardedCountTable:
             return
         *planes, n_dev = self._table
         n_host = np.asarray(n_dev)
-        planes_h = [np.asarray(p) for p in planes]
         n_keys = 1 if self._single else 2
+        planes_h = [np.asarray(p) for p in planes[: n_keys + 1]]
+        # high count plane: all-zero unless some k-mer passed 2^32
+        # occurrences -- probe with one device scalar instead of always
+        # crossing the link with 4 B/key (engine._spill does the same)
+        chi_h = (
+            np.asarray(planes[n_keys + 1])
+            if bool(jnp.any(planes[n_keys + 1] != 0))
+            else None
+        )
         for s in range(self.n_shards):
             m = int(n_host[s])
             if not m:
@@ -570,8 +578,9 @@ class ShardedCountTable:
             else:
                 vals = join_u64(planes_h[0][s, :m], planes_h[1][s, :m])
             cl = planes_h[n_keys][s, :m].astype(np.int64)
-            ch = planes_h[n_keys + 1][s, :m].astype(np.int64)
-            self._acc.add(vals, cl + (ch << 32))
+            if chi_h is not None:
+                cl = cl + (chi_h[s, :m].astype(np.int64) << 32)
+            self._acc.add(vals, cl)
         self._table = None
 
     def flush(self):

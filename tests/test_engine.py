@@ -371,3 +371,64 @@ def test_staged_batches_threaded_order_and_equality(tmp_path, monkeypatch):
         assert s0 == s1 and n0 == n1
         np.testing.assert_array_equal(l0, l1)
         np.testing.assert_array_equal(i0, i1)
+
+
+def test_spill_skips_zero_chi_and_carries_nonzero():
+    """_spill probes the high count plane with one device scalar and
+    only fetches it when some count passed 2^32; both branches must
+    produce exact 64-bit counts."""
+    import jax.numpy as jnp
+
+    from orion_kmer_tpu.engine import DeviceCountTable
+
+    S = 0xFFFFFFFF
+
+    def mk_table(chi0):
+        t = DeviceCountTable(31)
+        t._table = (
+            jnp.array([0, 1, S, S], jnp.uint32),      # hi
+            jnp.array([7, 8, S, S], jnp.uint32),      # lo
+            jnp.array([5, 6, 0, 0], jnp.uint32),      # cnt lo
+            jnp.array([chi0, 0, 0, 0], jnp.uint32),   # cnt hi
+            jnp.int32(2),
+        )
+        return t
+
+    t = mk_table(0)
+    t._spill()
+    vals, counts = t._acc.result()
+    assert vals.tolist() == [7, (1 << 32) | 8]
+    assert counts.tolist() == [5, 6]
+
+    t = mk_table(3)
+    t._spill()
+    vals, counts = t._acc.result()
+    assert vals.tolist() == [7, (1 << 32) | 8]
+    assert counts.tolist() == [(3 << 32) + 5, 6]
+
+
+def test_sharded_spill_carries_nonzero_chi():
+    """ShardedCountTable._spill: same probe; craft a 2-shard table with
+    one count past 2^32 (the class's _spill only touches these attrs,
+    so no mesh is needed)."""
+    import jax.numpy as jnp
+
+    from orion_kmer_tpu.engine import CountAccumulator
+    from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+    S = 0xFFFFFFFF
+    t = object.__new__(ShardedCountTable)
+    t._single = False
+    t.n_shards = 2
+    t._acc = CountAccumulator()
+    t._table = (
+        jnp.array([[0, S], [2, S]], jnp.uint32),   # hi
+        jnp.array([[9, S], [4, S]], jnp.uint32),   # lo
+        jnp.array([[1, 0], [2, 0]], jnp.uint32),   # cnt lo
+        jnp.array([[0, 0], [7, 0]], jnp.uint32),   # cnt hi
+        jnp.array([1, 1], jnp.int32),
+    )
+    t._spill()
+    vals, counts = t._acc.result()
+    assert vals.tolist() == [9, (2 << 32) | 4]
+    assert counts.tolist() == [1, (7 << 32) + 2]
