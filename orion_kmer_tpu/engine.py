@@ -439,6 +439,19 @@ class CountAccumulator:
         return self._merge_all()
 
 
+def _fetch_counts_narrow(clo, n) -> np.ndarray:
+    """Fetch the low count plane's valid prefix at the narrowest dtype
+    that holds its max (one device scalar probe; counts are overwhelmingly
+    small, so the link usually carries 1 B/key instead of 4)."""
+    sl = clo[:n]
+    cmax = int(jnp.max(sl))
+    if cmax < (1 << 8):
+        return np.asarray(sl.astype(jnp.uint8))
+    if cmax < (1 << 16):
+        return np.asarray(sl.astype(jnp.uint16))
+    return np.asarray(sl)
+
+
 class DeviceCountTable:
     """Device-resident count accumulation as an LSM-style merge forest.
 
@@ -663,14 +676,18 @@ class DeviceCountTable:
             elif self._u48:
                 from .ops.count import widen_u48_np
 
+                # the b plane holds <= 16 live bits on this path: cast
+                # to u16 ON DEVICE so the link carries 2 B/key, not 4
                 vals = widen_u48_np(
-                    np.asarray(planes[0][:n]), np.asarray(planes[1][:n]), self.k
+                    np.asarray(planes[0][:n]),
+                    np.asarray(planes[1][:n].astype(jnp.uint16)),
+                    self.k,
                 )
                 clo, chi = planes[2], planes[3]
             else:
                 vals = join_u64(np.asarray(planes[0][:n]), np.asarray(planes[1][:n]))
                 clo, chi = planes[2], planes[3]
-            counts = np.asarray(clo[:n]).astype(np.int64)
+            counts = _fetch_counts_narrow(clo, n).astype(np.int64)
             # the high count plane is all-zero unless some k-mer passed
             # 2^32 occurrences: probe with ONE device scalar (~28 ms RTT
             # through the tunnel) instead of always fetching 4 B/key

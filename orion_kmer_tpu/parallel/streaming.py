@@ -560,7 +560,17 @@ class ShardedCountTable:
         *planes, n_dev = self._table
         n_host = np.asarray(n_dev)
         n_keys = 1 if self._single else 2
-        planes_h = [np.asarray(p) for p in planes[: n_keys + 1]]
+        planes_h = [np.asarray(p) for p in planes[:n_keys]]
+        # narrow the count plane to the smallest dtype holding its max
+        # (one scalar probe; engine._fetch_counts_narrow does the same
+        # for the single-chip table) -- usually 1 B/key over the link
+        from ..engine import _fetch_counts_narrow
+
+        planes_h.append(
+            _fetch_counts_narrow(planes[n_keys].reshape(-1), None).reshape(
+                planes[n_keys].shape
+            )
+        )
         # high count plane: all-zero unless some k-mer passed 2^32
         # occurrences -- probe with one device scalar instead of always
         # crossing the link with 4 B/key (engine._spill does the same)

@@ -407,6 +407,28 @@ def test_spill_skips_zero_chi_and_carries_nonzero():
     assert counts.tolist() == [(3 << 32) + 5, 6]
 
 
+def test_spill_count_narrowing_branches():
+    """_fetch_counts_narrow picks u8/u16/u32 by the device max; every
+    branch must round-trip counts exactly."""
+    import jax.numpy as jnp
+
+    from orion_kmer_tpu.engine import DeviceCountTable
+
+    S = 0xFFFFFFFF
+    for c0 in (200, 60000, 70000, 5_000_000_000 % (1 << 32)):
+        t = DeviceCountTable(31)
+        t._table = (
+            jnp.array([0, 1, S, S], jnp.uint32),
+            jnp.array([7, 8, S, S], jnp.uint32),
+            jnp.array([c0, 1, 0, 0], jnp.uint32),
+            jnp.zeros(4, jnp.uint32),
+            jnp.int32(2),
+        )
+        t._spill()
+        vals, counts = t._acc.result()
+        assert counts.tolist() == [c0, 1], c0
+
+
 def test_sharded_spill_carries_nonzero_chi():
     """ShardedCountTable._spill: same probe; craft a 2-shard table with
     one count past 2^32 (the class's _spill only touches these attrs,
