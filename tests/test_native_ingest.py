@@ -225,3 +225,32 @@ def test_count_accumulator_native_vs_fallback(monkeypatch):
     v_np, c_np = feed()
     np.testing.assert_array_equal(v_native, v_np)
     np.testing.assert_array_equal(c_native, c_np)
+
+
+def test_counts_tsv_native_matches_python(tmp_path, monkeypatch):
+    """The native TSV renderer must be byte-identical to the Python
+    codec.u64s_to_seqs path across k extremes and count magnitudes."""
+    from orion_kmer_tpu.commands.count import write_counts_tsv
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = np.random.default_rng(21)
+    for k in (1, 21, 32):
+        n = 3000
+        vals = np.sort(
+            rng.integers(0, 1 << min(2 * k, 63), size=n, dtype=np.uint64)
+        )
+        counts = np.concatenate(
+            [
+                rng.integers(1, 10, size=n - 3),
+                np.array([255, 70000, 5_000_000_000]),
+            ]
+        ).astype(np.int64)
+        pn = tmp_path / f"n{k}.tsv"
+        pp = tmp_path / f"p{k}.tsv"
+        write_counts_tsv(pn, vals, counts, k)
+        monkeypatch.setattr(native, "available", lambda: False)
+        write_counts_tsv(pp, vals, counts, k)
+        monkeypatch.undo()
+        assert pn.read_bytes() == pp.read_bytes()
