@@ -140,6 +140,80 @@ def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
     return shi2, slo2, n_valid, any_overflow
 
 
+def _route_and_sort_u48(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
+    """32 < 2k <= 48 variant of _route_and_sort: keys are narrowed to a
+    (t u32, b u16) pair (ops.count.narrow_u48) BEFORE the all_to_all, so
+    the collective ships 6 bytes/element instead of 8 -- a 25% ICI
+    traffic cut on the multi-chip bottleneck.  The b plane widens back
+    to u32 after the receiver's sort, so every downstream stage (merge
+    forest, RLE, fold) is the pair path verbatim on (t, b); only the
+    host spill's u64 reconstruction differs (widen_u48_np).
+
+    The SENTINEL t marker is safe for k <= 24 by the _widen_b16
+    argument: a REAL canonical value can never have t == SENTINEL.
+    """
+    from ..ops.count import _compact_left, _widen_b16, narrow_u48
+    from ..ops.kmers_lanes import extract_canonical_lanes
+    from ..ops.sort_pallas import merge_sorted_pairs
+
+    lanes_blk = lanes_blk.reshape(-1)
+    inv_words_blk = inv_words_blk.reshape(-1)
+    block = lanes_blk.shape[0] * 16
+    hi, lo, valid = extract_canonical_lanes(lanes_blk, inv_words_blk, k, block)
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    b = hi.shape[0]
+    # ownership hashes the original (hi, lo) pair -- consistent with the
+    # pair path, so shard assignment is identical across k classes
+    owner = jnp.where(valid, _owner_of(hi, lo, n_shards), jnp.uint32(n_shards))
+    t, bb = narrow_u48(hi, lo, k)
+    t = jnp.where(valid, t, SENTINEL)
+    bb = jnp.where(valid, bb, SENTINEL)
+    sowner, st, sb = jax.lax.sort((owner, t, bb), num_keys=1)
+    dests = jnp.arange(n_shards, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow = (counts > cap).any().astype(jnp.int32)
+
+    M = n_shards * cap
+    idx = jnp.arange(b, dtype=jnp.int32)
+    rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+    routed = (sowner < n_shards) & (rank < cap)
+    big = jnp.uint32(0x7FFFFFFF)
+    dest_slot = jnp.where(routed, sowner * U32(cap) + rank.astype(U32), big)
+    slot_t = jnp.arange(M, dtype=jnp.int32)
+    unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
+    (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
+    n_unfilled = unfilled.astype(jnp.int32).sum()
+    ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
+    _, mt, mb = merge_sorted_pairs(
+        dest_slot,
+        st,
+        sb.astype(jnp.int32),
+        ukeys,
+        jnp.full((M,), SENTINEL, U32),
+        jnp.full((M,), SENTINEL, U32).astype(jnp.int32),
+    )
+    send_t = mt[:M]
+    send_b16 = mb[:M].astype(jnp.uint16)  # <= 16 live bits: halve the wire
+
+    recv_t = jax.lax.all_to_all(
+        send_t.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+    ).reshape(-1)
+    recv_b16 = jax.lax.all_to_all(
+        send_b16.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
+    ).reshape(-1)
+    mine = recv_t != SENTINEL
+    rt = jnp.where(mine, recv_t, SENTINEL)
+    rb16 = jnp.where(mine, recv_b16, jnp.uint16(0xFFFF))
+    st2, sb16 = jax.lax.sort((rt, rb16), num_keys=2)
+    n_valid = mine.astype(jnp.int32).sum()
+    any_overflow = jax.lax.psum(overflow, "shard")
+    return st2, _widen_b16(st2, sb16), n_valid, any_overflow
+
+
 def _route_and_sort_single(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
     """Single-plane (2k <= 32) variant of _route_and_sort: the canonical
     k-mer fits one u32, so the a2a ships HALF the ICI traffic and the
@@ -232,6 +306,11 @@ class ShardedCountTable:
         # traffic and half the sort/merge bandwidth (see
         # _route_and_sort_single and engine.DeviceCountTable)
         self._single = 2 * k <= 32
+        # 32 < 2k <= 48 (k=21 is half the BASELINE north-star): route
+        # with narrowed (t u32, b u16) keys so the all_to_all ships 25%
+        # less ICI traffic (_route_and_sort_u48); every later stage is
+        # the pair path on (t, widened b)
+        self._u48 = 32 < 2 * k <= 48
         self._tuple_len = 2 if self._single else 3
         self._runs: dict[int, tuple] = {}
         # device-resident accumulated table (VERDICT round 2 #2): epoch
@@ -271,9 +350,10 @@ class ShardedCountTable:
 
             out_specs = (P("shard", None), P("shard"), P("shard"))
         else:
+            route = _route_and_sort_u48 if self._u48 else _route_and_sort
 
             def per_device(lanes_blk, inv_words_blk):
-                shi, slo, n_valid, ovf = _route_and_sort(
+                shi, slo, n_valid, ovf = route(
                     lanes_blk, inv_words_blk, k, S, cap
                 )
                 return shi[None], slo[None], n_valid[None], ovf[None]
@@ -585,6 +665,13 @@ class ShardedCountTable:
                 continue
             if self._single:
                 vals = planes_h[0][s, :m].astype(np.uint64)
+            elif self._u48:
+                from ..ops.count import widen_u48_np
+
+                # the table keys are (t, b) from the narrowed route path
+                vals = widen_u48_np(
+                    planes_h[0][s, :m], planes_h[1][s, :m], self.k
+                )
             else:
                 vals = join_u64(planes_h[0][s, :m], planes_h[1][s, :m])
             cl = planes_h[n_keys][s, :m].astype(np.int64)

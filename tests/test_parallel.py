@@ -100,6 +100,33 @@ class TestShardedCountTable:
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(cnts, ec)
 
+    def test_streaming_u48_route_k21(self):
+        """k=21 streams through the narrowed (t u32, b u16) a2a route
+        (25% less ICI traffic); results + low-complexity equal-t ties
+        must stay exact, including through a mid-stream flush."""
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+        from orion_kmer_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(41)
+        k = 21
+        table = ShardedCountTable(k, mesh=make_mesh(n_devices=8))
+        assert table._u48
+        codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+        codes[rng.random(8000) < 0.02] = 255
+        # poly-A stretch: equal-t keys where only the u16 b plane breaks
+        # ties across the wire
+        codes[1000:1400] = 0
+        table.update(codes)
+        table.flush()
+        table.update(codes)
+        vals, cnts = table.result()
+        sep = np.full(k - 1, 255, dtype=np.uint8)
+        ref = codec.extract_kmers_np(np.concatenate([codes, sep, codes]), k)
+        ev, ec = np.unique(ref, return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(cnts, ec)
+
     def test_shard_count_invariance(self):
         """1-device and 8-device streaming tables produce identical
         results (the determinism contract replacing race detection)."""
