@@ -34,12 +34,15 @@ def write_counts_tsv(path, vals: np.ndarray, counts: np.ndarray, k: int) -> None
         if native.available():
             f.flush()  # nothing buffered yet; keep text/binary ordering safe
             chunk = 1 << 21
+            buf = np.empty(min(chunk, max(vals.shape[0], 1)) * (k + 22), np.uint8)
+            native._advise_hugepages(buf)  # one buffer, faulted once
             for start in range(0, vals.shape[0], chunk):
                 f.buffer.write(
                     native.counts_tsv_bytes(
                         vals[start : start + chunk],
                         counts[start : start + chunk],
                         k,
+                        out=buf,
                     )
                 )
             return

@@ -439,11 +439,17 @@ class CountAccumulator:
         return self._merge_all()
 
 
-def _fetch_counts_narrow(clo, n) -> np.ndarray:
-    """Fetch the low count plane's valid prefix at the narrowest dtype
-    that holds its max (one device scalar probe; counts are overwhelmingly
-    small, so the link usually carries 1 B/key instead of 4)."""
-    sl = clo[:n]
+def _fetch_counts_narrow(clo, n=None) -> np.ndarray:
+    """Fetch a count plane at the narrowest dtype that holds its max
+    (one device scalar probe; counts are overwhelmingly small, so the
+    link usually carries 1 B/key instead of 4).
+
+    ``n`` (if given) must be a BUCKETED length (power-of-two set): every
+    eager op here compiles one program per (shape, dtype) and this
+    backend pays ~40 s per new program, so data-dependent exact lengths
+    would trade seconds of link time for minutes of compiles (the same
+    program-set rule as engine._rebatch_codes / flush's _bucket)."""
+    sl = clo if n is None else clo[:n]
     cmax = int(jnp.max(sl))
     if cmax < (1 << 8):
         return np.asarray(sl.astype(jnp.uint8))
@@ -670,8 +676,15 @@ class DeviceCountTable:
         *planes, n_dev = self._table
         n = int(n_dev)
         if n:
+            # device slices use the BUCKETED length, not the exact n:
+            # every eager slice/cast compiles one program per shape, and
+            # exact unique counts differ per input (~40 s per new
+            # program on this backend); bucketed lengths keep the
+            # program set bounded at <= 2x the tight link bytes.  The
+            # host trims to n after the fetch (pads are SENTINEL/0).
+            t = min(_bucket(n), planes[0].shape[0])
             if self._single:
-                vals = np.asarray(planes[0][:n]).astype(np.uint64)
+                vals = np.asarray(planes[0][:t])[:n].astype(np.uint64)
                 clo, chi = planes[1], planes[2]
             elif self._u48:
                 from .ops.count import widen_u48_np
@@ -679,21 +692,23 @@ class DeviceCountTable:
                 # the b plane holds <= 16 live bits on this path: cast
                 # to u16 ON DEVICE so the link carries 2 B/key, not 4
                 vals = widen_u48_np(
-                    np.asarray(planes[0][:n]),
-                    np.asarray(planes[1][:n].astype(jnp.uint16)),
+                    np.asarray(planes[0][:t])[:n],
+                    np.asarray(planes[1][:t].astype(jnp.uint16))[:n],
                     self.k,
                 )
                 clo, chi = planes[2], planes[3]
             else:
-                vals = join_u64(np.asarray(planes[0][:n]), np.asarray(planes[1][:n]))
+                vals = join_u64(
+                    np.asarray(planes[0][:t])[:n], np.asarray(planes[1][:t])[:n]
+                )
                 clo, chi = planes[2], planes[3]
-            counts = _fetch_counts_narrow(clo, n).astype(np.int64)
+            counts = _fetch_counts_narrow(clo, t)[:n].astype(np.int64)
             # the high count plane is all-zero unless some k-mer passed
             # 2^32 occurrences: probe with ONE device scalar (~28 ms RTT
             # through the tunnel) instead of always fetching 4 B/key
             # (~6 s per 40M-unique spill at the ~25 MB/s link)
-            if bool(jnp.any(chi[:n] != 0)):
-                counts += np.asarray(chi[:n]).astype(np.int64) << 32
+            if bool(jnp.any(chi[:t] != 0)):
+                counts += np.asarray(chi[:t])[:n].astype(np.int64) << 32
             self._acc.add(vals, counts)
         self._table = None
 

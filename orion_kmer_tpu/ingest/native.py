@@ -259,7 +259,18 @@ def merge_unique(v1, c1, v2, c2):
     )
     if n == n1 + n2:
         return out_v, out_c
-    return out_v[:n].copy(), out_c[:n].copy()
+    return _trim(out_v, n), _trim(out_c, n)
+
+
+def _trim(arr: np.ndarray, n: int) -> np.ndarray:
+    """Exact-size copy of a merge output's valid prefix, with the copy
+    target hugepage-advised too (a plain arr[:n].copy() first-touches a
+    second full-size buffer through 4 KB faults, clawing back much of
+    the single-allocation win)."""
+    out = np.empty(n, dtype=arr.dtype)
+    _advise_hugepages(out)
+    np.copyto(out, arr[:n])
+    return out
 
 
 # Past this, the O(N*r) linear head scan of the k-way merge loses to a
@@ -326,18 +337,28 @@ def merge_unique_kway(vals: list, counts: list):
     )
     if n == total:
         return out_v, out_c
-    return out_v[:n].copy(), out_c[:n].copy()
+    return _trim(out_v, n), _trim(out_c, n)
 
 
-def counts_tsv_bytes(vals: np.ndarray, counts: np.ndarray, k: int) -> memoryview:
+def counts_tsv_bytes(
+    vals: np.ndarray, counts: np.ndarray, k: int, out: np.ndarray | None = None
+) -> memoryview:
     """Render `KMER\\tCOUNT\\n` lines natively; byte-identical to the
-    Python codec.u64s_to_seqs path (~60x faster on this host)."""
+    Python codec.u64s_to_seqs path (~60x faster on this host).
+
+    Pass ``out`` (uint8, >= n*(k+22) bytes) to reuse one buffer across
+    chunks -- a fresh ~90 MB allocation per chunk re-pays first-touch
+    page faults that cost multiples of the render itself here."""
     lib = _load()
     assert lib is not None, "native ingest not available"
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     n = vals.shape[0]
-    out = np.empty(n * (k + 22), dtype=np.uint8)
+    if out is None:
+        out = np.empty(n * (k + 22), dtype=np.uint8)
+        _advise_hugepages(out)
+    else:
+        assert out.dtype == np.uint8 and out.shape[0] >= n * (k + 22)
     m = lib.okt_write_counts_tsv(
         vals.ctypes.data_as(ctypes.c_void_p),
         counts.ctypes.data_as(ctypes.c_void_p),

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .count import CHUNK_POSITIONS  # noqa: F401  (re-exported for tests)
 from .count import _rle_sorted, _widen_b16, narrow_u48
 from .kmers import SENTINEL
 from .sort_pallas import (
@@ -56,7 +55,6 @@ from .sort_pallas import (
 from .sort_pallas import COMPACT_BLOCK_ROWS as _CBR
 
 U16 = jnp.uint16
-B16_SENTINEL = jnp.uint16(0xFFFF)
 
 
 def u16_forest_enabled() -> bool:

@@ -350,7 +350,15 @@ class ShardedCountTable:
 
             out_specs = (P("shard", None), P("shard"), P("shard"))
         else:
-            route = _route_and_sort_u48 if self._u48 else _route_and_sort
+            # ORION_KMER_SHARDED_U48=0 falls back to the proven pair
+            # route: the narrowed path is CPU-mesh-exact but was written
+            # during a tunnel outage, so the first real-chip sharded run
+            # gets a flag flip (not a code revert) if the u16 a2a or the
+            # (u32, u16) lax.sort misbehaves there
+            use_u48 = self._u48 and os.environ.get(
+                "ORION_KMER_SHARDED_U48", "1"
+            ) != "0"
+            route = _route_and_sort_u48 if use_u48 else _route_and_sort
 
             def per_device(lanes_blk, inv_words_blk):
                 shi, slo, n_valid, ovf = route(
