@@ -140,7 +140,9 @@ def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
     return shi2, slo2, n_valid, any_overflow
 
 
-def _route_and_sort_u48(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
+def _route_and_sort_u48(
+    lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int, widen: bool = True
+):
     """32 < 2k <= 48 variant of _route_and_sort: keys are narrowed to a
     (t u32, b u16) pair (ops.count.narrow_u48) BEFORE the all_to_all, so
     the collective ships 6 bytes/element instead of 8 -- a 25% ICI
@@ -211,6 +213,11 @@ def _route_and_sort_u48(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: in
     st2, sb16 = jax.lax.sort((rt, rb16), num_keys=2)
     n_valid = mine.astype(jnp.int32).sum()
     any_overflow = jax.lax.psum(overflow, "shard")
+    if not widen:
+        # ORION_KMER_U16_FOREST: the per-shard forest keeps b as a real
+        # u16 plane (ops/merge_mixed.py) -- widening happens at the
+        # flush RLE instead
+        return st2, sb16, n_valid, any_overflow
     return st2, _widen_b16(st2, sb16), n_valid, any_overflow
 
 
@@ -311,6 +318,20 @@ class ShardedCountTable:
         # less ICI traffic (_route_and_sort_u48); every later stage is
         # the pair path on (t, widened b)
         self._u48 = 32 < 2 * k <= 48
+        # ORION_KMER_SHARDED_U48=0 falls back to the proven pair route
+        # (the narrowed a2a is CPU-mesh-exact but was written during a
+        # tunnel outage; the first real-chip run gets a flag flip, not a
+        # code revert, if the u16 a2a or (u32, u16) sort misbehaves)
+        self._route_u48 = self._u48 and os.environ.get(
+            "ORION_KMER_SHARDED_U48", "1"
+        ) != "0"
+        # ORION_KMER_U16_FOREST=1: per-shard forests carry b as a real
+        # u16 plane (25% less merge traffic; same flag + Mosaic caveats
+        # as the single-chip table -- ops/merge_mixed.py).  Requires the
+        # narrowed route (it is what produces the u16 plane).
+        from ..ops.merge_mixed import u16_forest_enabled
+
+        self._n16 = self._route_u48 and u16_forest_enabled()
         self._tuple_len = 2 if self._single else 3
         self._runs: dict[int, tuple] = {}
         # device-resident accumulated table (VERDICT round 2 #2): epoch
@@ -355,16 +376,23 @@ class ShardedCountTable:
             # during a tunnel outage, so the first real-chip sharded run
             # gets a flag flip (not a code revert) if the u16 a2a or the
             # (u32, u16) lax.sort misbehaves there
-            use_u48 = self._u48 and os.environ.get(
-                "ORION_KMER_SHARDED_U48", "1"
-            ) != "0"
-            route = _route_and_sort_u48 if use_u48 else _route_and_sort
+            n16 = self._n16
 
-            def per_device(lanes_blk, inv_words_blk):
-                shi, slo, n_valid, ovf = route(
-                    lanes_blk, inv_words_blk, k, S, cap
-                )
-                return shi[None], slo[None], n_valid[None], ovf[None]
+            if self._route_u48:
+
+                def per_device(lanes_blk, inv_words_blk):
+                    shi, slo, n_valid, ovf = _route_and_sort_u48(
+                        lanes_blk, inv_words_blk, k, S, cap, widen=not n16
+                    )
+                    return shi[None], slo[None], n_valid[None], ovf[None]
+
+            else:
+
+                def per_device(lanes_blk, inv_words_blk):
+                    shi, slo, n_valid, ovf = _route_and_sort(
+                        lanes_blk, inv_words_blk, k, S, cap
+                    )
+                    return shi[None], slo[None], n_valid[None], ovf[None]
 
             out_specs = (
                 P("shard", None),
@@ -401,9 +429,15 @@ class ShardedCountTable:
             in_specs = (P("shard", None), P("shard")) * 2
             out_specs = (P("shard", None), P("shard"))
         else:
+            if self._n16:
+                from ..ops.merge_mixed import merge_sorted_streams_u48
+
+                merge2 = merge_sorted_streams_u48
+            else:
+                merge2 = merge_sorted_streams
 
             def per_device(a_hi, a_lo, a_n, b_hi, b_lo, b_n):
-                mhi, mlo = merge_sorted_streams(
+                mhi, mlo = merge2(
                     a_hi.reshape(-1),
                     a_lo.reshape(-1),
                     b_hi.reshape(-1),
@@ -490,9 +524,15 @@ class ShardedCountTable:
             in_specs = (P("shard", None), P("shard"))
             out_specs = (P("shard", None), P("shard", None), P("shard"))
         else:
+            if self._n16:
+                from ..ops.merge_mixed import rle_compact_u48
+
+                rle2 = rle_compact_u48  # widens b in-program; u32 out
+            else:
+                rle2 = rle_compact
 
             def per_shard(h, l, nn):
-                uhi, ulo, ucnt, nu = rle_compact(
+                uhi, ulo, ucnt, nu = rle2(
                     h.reshape(-1), l.reshape(-1), nn.reshape(())
                 )
                 return uhi[None], ulo[None], ucnt[None], nu[None]

@@ -189,6 +189,38 @@ class TestEngineU16Forest:
         np.testing.assert_array_equal(v16, v32)
         np.testing.assert_array_equal(c16, c32)
 
+    def test_sharded_table_flag_parity(self, monkeypatch):
+        """ShardedCountTable under ORION_KMER_U16_FOREST=1: the per-shard
+        forests carry (t, b u16) runs; results must match the default
+        sharded path and the host oracle (mid-stream flush included)."""
+        from orion_kmer_tpu.parallel import make_mesh
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+        k = 21
+        rng = np.random.default_rng(17)
+        codes = rng.integers(0, 4, size=9000, dtype=np.uint8)
+        codes[rng.random(9000) < 0.02] = 255
+        codes[2000:2300] = 0  # poly-A: equal-t ties through u16 merges
+
+        def run(flag):
+            monkeypatch.setenv("ORION_KMER_U16_FOREST", flag)
+            t = ShardedCountTable(k, mesh=make_mesh(n_devices=8))
+            assert t._n16 == (flag == "1")
+            t.update(codes)
+            t.flush()
+            t.update(codes)
+            return t.result()
+
+        v16, c16 = run("1")
+        v32, c32 = run("0")
+        np.testing.assert_array_equal(v16, v32)
+        np.testing.assert_array_equal(c16, c32)
+        sep = np.full(k - 1, 255, dtype=np.uint8)
+        ref = codec.extract_kmers_np(np.concatenate([codes, sep, codes]), k)
+        ev, ec = np.unique(ref, return_counts=True)
+        np.testing.assert_array_equal(v16, ev)
+        np.testing.assert_array_equal(c16, ec)
+
     def test_warm_and_flush_midstream(self, monkeypatch):
         monkeypatch.setenv("ORION_KMER_U16_FOREST", "1")
         from orion_kmer_tpu.engine import DeviceCountTable
