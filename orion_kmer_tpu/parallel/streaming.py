@@ -713,10 +713,12 @@ class ShardedCountTable:
                 continue
             if self._single:
                 vals = planes_h[0][s, :m].astype(np.uint64)
-            elif self._u48:
+            elif self._route_u48:
                 from ..ops.count import widen_u48_np
 
-                # the table keys are (t, b) from the narrowed route path
+                # the table keys are (t, b): the REPRESENTATION follows
+                # the route flag, not the k class -- with
+                # ORION_KMER_SHARDED_U48=0 the table holds (hi, lo)
                 vals = widen_u48_np(
                     planes_h[0][s, :m], planes_h[1][s, :m], self.k
                 )

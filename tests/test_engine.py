@@ -441,7 +441,7 @@ def test_sharded_spill_carries_nonzero_chi():
     S = 0xFFFFFFFF
     t = object.__new__(ShardedCountTable)
     t._single = False
-    t._u48 = False
+    t._route_u48 = False
     t.n_shards = 2
     t._acc = CountAccumulator()
     t._table = (

@@ -127,6 +127,34 @@ class TestShardedCountTable:
         np.testing.assert_array_equal(vals, ev)
         np.testing.assert_array_equal(cnts, ec)
 
+    def test_streaming_u48_route_optout_matches(self, monkeypatch):
+        """ORION_KMER_SHARDED_U48=0 falls back to the pair route; both
+        routes must produce identical results (the fallback is the
+        on-chip escape hatch if the narrowed a2a misbehaves there)."""
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel import make_mesh
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+        rng = np.random.default_rng(43)
+        k = 21
+        codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+        codes[rng.random(6000) < 0.03] = 255
+
+        def run(flag):
+            monkeypatch.setenv("ORION_KMER_SHARDED_U48", flag)
+            t = ShardedCountTable(k, mesh=make_mesh(n_devices=8))
+            assert t._route_u48 == (flag == "1")
+            t.update(codes)
+            return t.result()
+
+        v_pair, c_pair = run("0")
+        v_u48, c_u48 = run("1")
+        np.testing.assert_array_equal(v_pair, v_u48)
+        np.testing.assert_array_equal(c_pair, c_u48)
+        ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+        np.testing.assert_array_equal(v_u48, ev)
+        np.testing.assert_array_equal(c_u48, ec)
+
     def test_shard_count_invariance(self):
         """1-device and 8-device streaming tables produce identical
         results (the determinism contract replacing race detection)."""
