@@ -116,6 +116,7 @@ enum {
     OKT_UNKNOWN_FORMAT = -2,
     OKT_MALFORMED = -3,
     OKT_CAPACITY = -4,
+    OKT_BADCOUNT = -5,
 };
 
 // Incremental chunk parse.  With eof=0 the buffer is a chunk of a
@@ -416,7 +417,10 @@ long okt_merge_unique_kway(const uint64_t* const* vs, const int64_t* const* cs,
 // (count.rs:127-135 output format; byte-identical to the Python
 // codec.u64s_to_seqs + f-string path it accelerates -- that path
 // measured 0.83M lines/s on this host, ~48 s for a 40M-unique table).
-// Returns bytes written, or OKT_CAPACITY if out is too small.
+// Returns bytes written, OKT_CAPACITY if out is too small, or
+// OKT_BADCOUNT on a count <= 0: pipeline counts are >= 1 by
+// construction, so a non-positive value is table corruption and must
+// fail loudly rather than be serialized as a fabricated line.
 long okt_write_counts_tsv(const uint64_t* vals, const int64_t* counts, long n,
                           int k, uint8_t* out, long cap) {
     static const char BASES[4] = {'A', 'C', 'G', 'T'};
@@ -434,7 +438,7 @@ long okt_write_counts_tsv(const uint64_t* vals, const int64_t* counts, long n,
         int t = 0;
         int64_t c = counts[i];
         if (c <= 0) {
-            out[o++] = '0';  // counts are >= 1 by construction; 0 = defensive
+            return OKT_BADCOUNT;
         } else {
             while (c > 0) {
                 tmp[t++] = (char)('0' + (c % 10));

@@ -850,7 +850,9 @@ def _staged_batches(path, k: int, normalize: bool):
         window: deque = deque()
         for item in packed():
             window.append(ex.submit(to_dev, item))
-            if len(window) > stage:
+            # >= caps in-flight transfers at exactly ORION_KMER_STAGE_THREADS
+            # (> would allow stage+1 pinned batches on this 1-core host)
+            if len(window) >= stage:
                 yield window.popleft().result()
         while window:
             yield window.popleft().result()

@@ -41,12 +41,14 @@ OKT_EMPTY = -1
 OKT_UNKNOWN_FORMAT = -2
 OKT_MALFORMED = -3
 OKT_CAPACITY = -4
+OKT_BADCOUNT = -5
 
 _ERROR_NAMES = {
     OKT_EMPTY: "empty input",
     OKT_UNKNOWN_FORMAT: "unknown format (expected '>' or '@')",
     OKT_MALFORMED: "malformed record",
     OKT_CAPACITY: "output capacity exceeded",
+    OKT_BADCOUNT: "non-positive count (corrupted table)",
 }
 
 
@@ -344,7 +346,9 @@ def counts_tsv_bytes(
     vals: np.ndarray, counts: np.ndarray, k: int, out: np.ndarray | None = None
 ) -> memoryview:
     """Render `KMER\\tCOUNT\\n` lines natively; byte-identical to the
-    Python codec.u64s_to_seqs path (~60x faster on this host).
+    Python codec.u64s_to_seqs path (measured 0.83M -> ~7M lines/s on
+    this 1-core host, ~8.4x).  Counts <= 0 raise (OKT_BADCOUNT):
+    pipeline counts are >= 1, so a non-positive value is corruption.
 
     Pass ``out`` (uint8, >= n*(k+22) bytes) to reuse one buffer across
     chunks -- a fresh ~90 MB allocation per chunk re-pays first-touch

@@ -178,8 +178,15 @@ def pairwise_intersections(sketch_hashes: list) -> np.ndarray:
     gidx = np.cumsum(head) - 1
     rank = np.arange(n, dtype=np.int64) - starts[gidx]
     max_rank = int(rank.max())
+    # Elements with rank >= d form a suffix of a rank-stable-sorted index
+    # array, so each stride slices a shrinking suffix (total work = the
+    # number of pairs emitted) instead of rescanning all n elements per
+    # d -- one near-universal hash among P otherwise-unique sketches
+    # would otherwise cost O(max_rank * n) full scans.
+    by_rank = np.argsort(rank, kind="stable")
+    sorted_rank = rank[by_rank]
     for d in range(1, max_rank + 1):
-        i = np.flatnonzero(rank >= d)  # element d-before is in my group
+        i = by_rank[np.searchsorted(sorted_rank, d, side="left") :]
         a = sid[i - d]
         b = sid[i]
         np.add.at(mat, (np.minimum(a, b), np.maximum(a, b)), 1)

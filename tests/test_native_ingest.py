@@ -254,3 +254,18 @@ def test_counts_tsv_native_matches_python(tmp_path, monkeypatch):
         write_counts_tsv(pp, vals, counts, k)
         monkeypatch.undo()
         assert pn.read_bytes() == pp.read_bytes()
+
+
+def test_counts_tsv_rejects_nonpositive_count():
+    """A count <= 0 is table corruption (pipeline counts are >= 1 by
+    construction): the renderer must fail loudly (OKT_BADCOUNT), not
+    serialize a fabricated line."""
+    from orion_kmer_tpu.ingest import native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    vals = np.array([3, 7], dtype=np.uint64)
+    counts = np.array([2, 0], dtype=np.int64)
+    with pytest.raises(native.NativeParseError) as ei:
+        native.counts_tsv_bytes(vals, counts, 4)
+    assert "non-positive count" in str(ei.value)
