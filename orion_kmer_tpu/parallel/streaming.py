@@ -334,6 +334,31 @@ class ShardedCountTable:
         self._n16 = self._route_u48 and u16_forest_enabled()
         self._tuple_len = 2 if self._single else 3
         self._runs: dict[int, tuple] = {}
+        # Per-stage byte/dispatch accounting (VERDICT r3 item 6): pure
+        # Python counters derived from static shapes -- zero device
+        # fetches -- so the >=80% multi-chip scaling target
+        # (BASELINE.json config 5) has an evidence path before real
+        # chips exist: dryrun_multichip emits an ICI-bytes-per-position
+        # scaling report from these, and on hardware the same counters
+        # attribute measured efficiency loss to routing vs merge vs
+        # spill traffic.
+        self.stats: dict[str, int] = {
+            "positions": 0,  # input positions fed through update()
+            "updates": 0,  # successful update() calls
+            "route_dispatches": 0,  # route+sort shard_map launches (incl. retries)
+            "route_retries": 0,  # overflow retries (capacity escalation)
+            "a2a_bytes_sent": 0,  # bytes entering all_to_all, summed over shards
+            "a2a_bytes_ici": 0,  # the (S-1)/S fraction that crosses ICI
+            "recv_sort_elements": 0,  # post-a2a per-shard sort sizes, summed
+            "merge_dispatches": 0,  # forest merge shard_map launches
+            "merge_bytes": 0,  # key-plane bytes through forest merges
+            "flush_dispatches": 0,  # flush RLE shard_map launches
+            "rle_elements": 0,  # elements through flush RLE, summed over shards
+            "fold_dispatches": 0,  # device-table combine/promote launches
+            "fold_elements": 0,  # elements entering table folds, summed
+            "spills": 0,  # device-table -> host-accumulator crossings
+            "host_link_bytes": 0,  # actual bytes fetched over the host link
+        }
         # device-resident accumulated table (VERDICT round 2 #2): epoch
         # RLE outputs fold into per-shard on-device 64-bit tables
         # (keys... , cnt_lo, cnt_hi as [S, cap] u32 planes + n [S]), so
@@ -480,10 +505,21 @@ class ShardedCountTable:
         d_codes = jax.device_put(lanes, sharding)
         d_invalid = jax.device_put(inv_words, sharding)
 
+        st = self.stats
         factor = self.capacity_factor
+        first_attempt = True
         while True:
             cap = int(np.ceil(factor * block / S))
             M = S * cap  # per-shard stream capacity for this batch
+            # every attempt (retries included) ships a full a2a round:
+            # each of S shards sends M elements, (S-1)/S of them over ICI
+            bpe = self._route_bytes_per_elem()
+            st["route_dispatches"] += 1
+            st["route_retries"] += 0 if first_attempt else 1
+            st["a2a_bytes_sent"] += S * M * bpe
+            st["a2a_bytes_ici"] += M * bpe * (S - 1)
+            st["recv_sort_elements"] += S * M
+            first_attempt = False
             out = self._route_fn(cap, factor)(d_codes, d_invalid)
             ovf = out[-1]
             if int(np.asarray(ovf).max()) == 0:
@@ -492,8 +528,12 @@ class ShardedCountTable:
                 while c in self._runs:
                     prev = self._runs.pop(c)
                     run = self._merge_fn(c)(*prev, *run)
+                    st["merge_dispatches"] += 1
+                    st["merge_bytes"] += S * 2 * c * self._forest_bytes_per_elem()
                     c *= 2
                 self._runs[c] = run
+                st["updates"] += 1
+                st["positions"] += codes.shape[0]
                 self._windows_since_flush += codes.shape[0]
                 if self._windows_since_flush >= self.FLUSH_WINDOWS:
                     self.flush()
@@ -503,6 +543,40 @@ class ShardedCountTable:
             # exact retry with more headroom; factor == S is guaranteed
             # sufficient (every window of a block fits one destination)
             factor = min(factor * 4, S)
+
+    def _route_bytes_per_elem(self) -> int:
+        """Payload bytes per element through the routing all_to_all."""
+        if self._single:
+            return 4  # one u32 plane
+        if self._route_u48:
+            return 6  # (t u32, b u16) narrowed pair
+        return 8  # (hi u32, lo u32)
+
+    def _forest_bytes_per_elem(self) -> int:
+        """Key-plane bytes per element through per-shard forest merges."""
+        if self._single:
+            return 4
+        if self._n16:
+            return 6  # u16 forest keeps b narrow through the merges
+        return 8
+
+    def stats_report(self) -> dict:
+        """Accounting snapshot with derived per-position traffic: the
+        scaling-efficiency evidence (BASELINE.json config 5) a real
+        multi-chip run will be judged by.  ici_bytes_per_position is
+        the headline -- it is what rides the inter-chip links."""
+        st = dict(self.stats)
+        pos = max(st["positions"], 1)
+        st["k"] = self.k
+        st["n_shards"] = self.n_shards
+        st["route"] = (
+            "single" if self._single else ("u48" if self._route_u48 else "pair")
+        )
+        st["u16_forest"] = bool(self._n16)
+        st["a2a_bytes_per_position"] = round(st["a2a_bytes_sent"] / pos, 3)
+        st["ici_bytes_per_position"] = round(st["a2a_bytes_ici"] / pos, 3)
+        st["host_link_bytes_per_position"] = round(st["host_link_bytes"] / pos, 4)
+        return st
 
     def _flush_fn(self, cap: int):
         """Jitted per-shard RLE for one run capacity, cached so repeated
@@ -661,11 +735,14 @@ class ShardedCountTable:
         """Merge one epoch's per-shard RLE output into the device
         table, spilling to the host accumulator at the capacity bound
         (mirrors engine.DeviceCountTable._fold_into_table)."""
+        st = self.stats
         n_keys = len(key_planes)
         cap_run = key_planes[0].shape[1]
         if self._table is None:
             cl, ch = self._promote_fn(cap_run)(ucnt)
             self._table = (*key_planes, cl, ch, n_u)
+            st["fold_dispatches"] += 1
+            st["fold_elements"] += self.n_shards * cap_run
             return
         t = self._table
         cap = max(t[0].shape[1], cap_run)
@@ -673,11 +750,15 @@ class ShardedCountTable:
             self._spill()
             cl, ch = self._promote_fn(cap_run)(ucnt)
             self._table = (*key_planes, cl, ch, n_u)
+            st["fold_dispatches"] += 1
+            st["fold_elements"] += self.n_shards * cap_run
             return
         t_planes = self._pad_cols(t[:-1], cap, n_keys)
         run = self._pad_cols([*key_planes, ucnt], cap, n_keys)
         out = self._combine_fn(cap)(*t_planes, t[-1], *run, n_u)
         self._table = tuple(out)
+        st["fold_dispatches"] += 1
+        st["fold_elements"] += self.n_shards * 2 * cap
 
     def _spill(self):
         """Fetch the device table into the host accumulator and reset.
@@ -706,6 +787,12 @@ class ShardedCountTable:
             np.asarray(planes[n_keys + 1])
             if bool(jnp.any(planes[n_keys + 1] != 0))
             else None
+        )
+        self.stats["spills"] += 1
+        self.stats["host_link_bytes"] += (
+            sum(int(p.nbytes) for p in planes_h)
+            + (int(chi_h.nbytes) if chi_h is not None else 4)  # 4 = probe scalar
+            + int(n_host.nbytes)
         )
         for s in range(self.n_shards):
             m = int(n_host[s])
@@ -736,6 +823,8 @@ class ShardedCountTable:
         for cap in sorted(self._runs):
             fn = self._flush_fn(cap)
             out = fn(*self._runs[cap])
+            self.stats["flush_dispatches"] += 1
+            self.stats["rle_elements"] += self.n_shards * cap
             *planes, nu = out
             # one small fetch per epoch: the per-shard unique counts,
             # to slice the full-capacity RLE buffers down to a tight
