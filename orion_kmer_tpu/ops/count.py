@@ -279,6 +279,15 @@ def sort_canonical_packed_u48(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k:
     t = jnp.where(valid, t, SENTINEL)
     b16 = jnp.where(valid, b, 0xFFFF).astype(jnp.uint16)
     n_valid = valid.astype(jnp.int32).sum()
+    from .sort_tiled import sort_u48_tiled, tiled_sort_enabled
+
+    if tiled_sort_enabled():
+        # ORION_KMER_TILED_SORT: whole-batch tiled mixed-dtype sort --
+        # 6 honest bytes/element through every Pallas stage, vs
+        # lax.sort's u16->u32 padding (ops/sort_tiled.py; falls back to
+        # lax.sort on ineligible shapes)
+        st, sb = sort_u48_tiled(t, b16)
+        return st, _widen_b16(st, sb), n_valid
     if n_positions % CHUNK_POSITIONS != 0 or n_positions <= CHUNK_POSITIONS:
         st, sb = jax.lax.sort((t, b16), num_keys=2)
         return st, _widen_b16(st, sb), n_valid

@@ -211,6 +211,13 @@ def sort_canonical_packed_u48_n16(lanes: jnp.ndarray, invalid_words: jnp.ndarray
     t = jnp.where(valid, t, SENTINEL)
     b16 = jnp.where(valid, b, 0xFFFF).astype(U16)
     n_valid = valid.astype(jnp.int32).sum()
+    from .sort_tiled import sort_u48_tiled, tiled_sort_enabled
+
+    if tiled_sort_enabled():
+        # whole-batch tiled mixed sort (ops/sort_tiled.py); the u16
+        # plane stays narrow straight into the forest
+        st, sb = sort_u48_tiled(t, b16)
+        return st, sb, n_valid
     if n_positions % chunk != 0 or n_positions <= chunk:
         st, sb = jax.lax.sort((t, b16), num_keys=2)
         return st, sb, n_valid

@@ -444,6 +444,7 @@ def test_sharded_spill_carries_nonzero_chi():
     t._route_u48 = False
     t.n_shards = 2
     t._acc = CountAccumulator()
+    t.stats = {"spills": 0, "host_link_bytes": 0}
     t._table = (
         jnp.array([[0, S], [2, S]], jnp.uint32),   # hi
         jnp.array([[9, S], [4, S]], jnp.uint32),   # lo

@@ -27,4 +27,6 @@ bash tools/vfy_steady_drive.sh 2>&1 | tee /tmp/vfy_steady.log
 
 bash tools/vfy_u16.sh 2>&1 | tee /tmp/vfy_u16.log
 
+timeout 1800 python tools/bench_sort.py 2>&1 | tee /tmp/bench_sort.log
+
 echo RETURN-RUNBOOK-DONE
