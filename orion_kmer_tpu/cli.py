@@ -213,6 +213,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="Minimum reference breadth to report (classification mode)",
     )
 
+    # serve (TPU-native extension: resident warm-engine server; the
+    # per-process executable-load ladder makes fresh processes expensive
+    # on TPU backends -- see server.py)
+    sv = sub.add_parser("serve", help="Run a persistent engine server on a unix socket")
+    sv.add_argument("--socket", required=True, help="Unix socket path to listen on")
+    sv.add_argument(
+        "--warm-k",
+        type=int,
+        nargs="*",
+        default=[],
+        help="Pre-warm the count program ladder for these k values at startup",
+    )
+
     # cohort (entrez-tool + hybrid finder CLI drivers)
     from .commands.cohort import add_cohort_parser
 
@@ -220,7 +233,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _extract_server_flag(argv: list[str]) -> tuple[str | None, list[str]]:
+    """Pull a global --server PATH / --server=PATH out of raw argv.
+
+    Handled before argparse so the remaining argv is forwarded to the
+    server byte-exactly (re-serializing parsed args would be lossy)."""
+    rest: list[str] = []
+    path = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--server" and i + 1 < len(argv):
+            path = argv[i + 1]
+            i += 2
+        elif a.startswith("--server="):
+            path = a.split("=", 1)[1]
+            i += 1
+        else:
+            rest.append(a)
+            i += 1
+    return path, rest
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else [str(a) for a in argv]
+    server_path, argv = _extract_server_flag(argv)
+    if server_path is not None:
+        from .server import forward
+
+        return forward(server_path, argv)
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
 
@@ -235,8 +276,10 @@ def main(argv=None) -> int:
     os.environ["ORION_KMER_THREADS"] = str(get_num_threads(args.threads))
 
     from .commands import build, classify, cohort, compare, count, profile, query, sketch
+    from .server import run_serve
 
     dispatch = {
+        "serve": run_serve,
         "count": count.run_count,
         "build": build.run_build,
         "compare": compare.run_compare,
