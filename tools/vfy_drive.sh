@@ -16,7 +16,7 @@ T python -m orion_kmer_tpu count -k 15 -i /tmp/vfy/big.fasta -o /tmp/vfy/big15.t
 T python -m orion_kmer_tpu count -k 32 -i /tmp/vfy/tedge.fasta -o /tmp/vfy/t32.tsv
 cat /tmp/vfy/t32.tsv
 T python -m orion_kmer_tpu sketch -k 31 -i /tmp/vfy/a.fasta /tmp/vfy/b.fasta --scaled 100 -o /tmp/vfy/ab.sig
-T python -m orion_kmer_tpu sketch-compare /tmp/vfy/ab.sig -o /tmp/vfy/ab_cmp.json
+T python -m orion_kmer_tpu sketch-compare -s /tmp/vfy/ab.sig -o /tmp/vfy/ab_cmp.json
 T python -m orion_kmer_tpu build -k 21 -g /tmp/vfy/a.fasta /tmp/vfy/b.fasta -o /tmp/vfy/ab.db
 T python -m orion_kmer_tpu compare --db1 /tmp/vfy/ab.db --db2 /tmp/vfy/ab.db -o /tmp/vfy/self.json
 T python -m orion_kmer_tpu query -d /tmp/vfy/ab.db -r /tmp/vfy/reads.fastq -c 1 -o /tmp/vfy/hits.txt
