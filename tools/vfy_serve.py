@@ -43,18 +43,27 @@ def main() -> int:
                 "    jax.config.update('jax_platforms', 'cpu')\n"
             )
         env["PYTHONPATH"] = shim + os.pathsep + env.get("PYTHONPATH", "")
+    k = "7"
     fa = os.path.join(tmp, "s.fasta")
     with open(fa, "w") as f:
         f.write(">s1\nACGTACGTACGTTTTTCCCCGGGGAAAA\n>s2\nGATTACAGATTACANNNACGT\n")
+    if tpu and os.path.exists("/tmp/vfy/big.fasta"):
+        # the 9 Mb fixture crosses the real batch/merge-forest programs,
+        # so the request-2-vs-request-1 delta shows the executable-load
+        # ladder the resident server amortizes
+        fa, k = "/tmp/vfy/big.fasta", "31"
     sock = os.path.join(tmp, "okt.sock")
     direct, served = os.path.join(tmp, "direct.tsv"), os.path.join(tmp, "served.tsv")
 
     cli = [sys.executable, "-m", "orion_kmer_tpu"]
-    run = lambda *a, **kw: subprocess.run(
-        [*cli, *a], cwd=REPO, env=env, timeout=600, **kw
-    )
 
-    rc = run("count", "-k", "7", "-i", fa, "-o", direct).returncode
+    def run(*a, **kw):
+        t0 = time.monotonic()
+        p = subprocess.run([*cli, *a], cwd=REPO, env=env, timeout=3600, **kw)
+        print(f"[vfy_serve] {a[0]} {a[-1]}: {time.monotonic() - t0:.1f} s", flush=True)
+        return p
+
+    rc = run("count", "-k", k, "-i", fa, "-o", direct).returncode
     assert rc == 0, f"direct count rc={rc}"
 
     srv = subprocess.Popen([*cli, "serve", "--socket", sock], cwd=REPO, env=env)
@@ -65,13 +74,20 @@ def main() -> int:
             time.sleep(0.5)
         assert os.path.exists(sock), "server socket never appeared"
 
-        rc = run("--server", sock, "count", "-k", "7", "-i", fa, "-o", served).returncode
+        rc = run("--server", sock, "count", "-k", k, "-i", fa, "-o", served).returncode
         assert rc == 0, f"served count rc={rc}"
         with open(direct, "rb") as f1, open(served, "rb") as f2:
             assert f1.read() == f2.read(), "served != direct output"
         print("SERVED-COUNT-IDENTICAL")
 
-        p = run("--server", sock, "count", "-k", "7", "-i", "/nope", "-o", "/tmp/x",
+        served2 = os.path.join(tmp, "served2.tsv")
+        rc = run("--server", sock, "count", "-k", k, "-i", fa, "-o", served2).returncode
+        assert rc == 0, f"served count 2 rc={rc}"
+        with open(direct, "rb") as f1, open(served2, "rb") as f2:
+            assert f1.read() == f2.read(), "served2 != direct output"
+        print("SERVED-REPEAT-IDENTICAL")
+
+        p = run("--server", sock, "count", "-k", k, "-i", "/nope", "-o", "/tmp/x",
                 capture_output=True)
         assert p.returncode == 1 and b"[ERROR orion_kmer_tpu]" in p.stderr, (
             p.returncode, p.stderr)
