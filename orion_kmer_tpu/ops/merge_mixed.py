@@ -18,10 +18,15 @@ sort_pallas.py would invalidate the persistent compile cache for every
 existing program -- a full recompile storm on the tunneled TPU).
 
 STATUS: gated by ORION_KMER_U16_FOREST (default off).  Correct under
-interpret mode and the XLA fallback (tests/test_merge_mixed.py); the
-Mosaic u16 compare-exchange / DMA path still needs on-chip validation
-(sub-32-bit sublane reshapes at odd row strides can hit relayouts) --
-flip the default only after PARITY.md gains a verified row.
+interpret mode and the XLA fallback (tests/test_merge_mixed.py).
+On-chip round 4 (tools/probe_u16_mosaic.py): Mosaic v5e rejects 16-bit
+vector compares (both signednesses: "Target does not support this
+comparison") and pltpu.roll on u16; select/sublane-reshape/transpose
+lower fine.  Fixed in sort_pallas._gt/_ce_lanes by widening u16 planes
+to u32 IN-REGISTER for the compare/roll only (VMEM blocks and DMAs stay
+6 B/element, which is where the win lives) -- the edits keep every
+u32-path traced line byte-identical (TPU lowering diffed empty), so the
+persistent compile cache for the default pipeline survived.
 
 Reference parity: same count semantics as count.rs:106-135; the (t, b)
 split is kmer.rs:37-57's MSB-first 2k-bit packing re-split at bit

@@ -63,9 +63,9 @@ def _lex_gt(a_hi, a_lo, b_hi, b_lo):
 
 
 def _gt(a_planes, b_planes, n_keys):
-    """Key compare over the first n_keys planes (1 = single u32 key,
-    2 = u64 as a (hi, lo) pair).  The single-key form halves every
-    plane's HBM traffic for the 2k <= 32 pipeline specialization."""
+    if any(p.dtype.itemsize < 4 for p in a_planes[:n_keys]):  # Mosaic has no
+        a_planes = [p.astype(U32) for p in a_planes[:n_keys]]  # 16-bit compare:
+        b_planes = [p.astype(U32) for p in b_planes[:n_keys]]  # widen in-register
     if n_keys == 1:
         return a_planes[0] > b_planes[0]
     return _lex_gt(a_planes[0], a_planes[1], b_planes[0], b_planes[1])
@@ -104,10 +104,10 @@ def _ce_lanes(planes, e: int, desc_mask_fn, n_keys: int = 2):
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     is_low = (l_iota & e) == 0  # this lane holds the lower logical index
     partners = []
-    for p in planes:
-        fwd = pltpu.roll(p, _LANES - e, 1)  # value from lane + e
-        bwd = pltpu.roll(p, e, 1)  # value from lane - e
-        partners.append(jnp.where(is_low, fwd, bwd))
+    for p, w in ((q, q if q.dtype.itemsize >= 4 else q.astype(U32)) for q in planes):
+        fwd = pltpu.roll(w, _LANES - e, 1)  # value from lane + e
+        bwd = pltpu.roll(w, e, 1)  # value from lane - e
+        partners.append(jnp.where(is_low, fwd, bwd).astype(p.dtype))
     lo_hi = [jnp.where(is_low, p, q) for p, q in zip(planes, partners)]
     hi_hi = [jnp.where(is_low, q, p) for p, q in zip(planes, partners)]
     gt = _gt(lo_hi, hi_hi, n_keys)

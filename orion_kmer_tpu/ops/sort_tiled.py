@@ -28,8 +28,10 @@ microbench gate (tools/bench_sort.py) before any default flips.
 
 STATUS: gated by ORION_KMER_TILED_SORT (default off).  Correct under
 interpret mode and the lax.sort fallback (tests/test_sort_tiled.py);
-the Mosaic u16 compare-exchange / transpose path needs the same
-on-chip validation pass as ops/merge_mixed.py (tools/vfy_u16.sh).
+Mosaic v5e lacks 16-bit vector compare and u16 pltpu.roll
+(tools/probe_u16_mosaic.py) -- both handled by the in-register widening
+in sort_pallas._gt/_ce_lanes (u16 transpose lowers fine).  Gate on
+tools/bench_sort.py (>= 1.3x vs lax.sort (u32,u16)) before any flip.
 
 Reference parity: output ordering is the count determinism anchor
 (orion-kmer/src/commands/count.rs:119 -- ascending encoded-u64 order);
