@@ -149,9 +149,6 @@ def main() -> None:
         # generic over the pair-plane k-classes: k=31 runs the (hi, lo)
         # path, k=21 the narrowed (t u32, b u16) u48 path -- both keep
         # 3-tuple (plane, plane, n) runs, so the flush checksum is shared
-        # (under ORION_KMER_U16_FOREST=1 the k=21 runs carry a u16 b
-        # plane and flush through rle_compact_u48, whose output planes
-        # are u32 again)
         table = DeviceCountTable(k)
         for i in range(N_BATCHES):
             lanes, inv = batches[i % N_DISTINCT]
@@ -159,12 +156,7 @@ def main() -> None:
         cs = jnp.uint32(0)
         for cap in sorted(table._runs):
             hi, lo, n_dev = table._runs[cap]
-            if table._n16:
-                from orion_kmer_tpu.ops.merge_mixed import rle_compact_u48
-
-                cs = cs ^ checksum(*rle_compact_u48(hi, lo, n_dev))
-            else:
-                cs = cs ^ checksum(*rle_compact(hi, lo, n_dev))
+            cs = cs ^ checksum(*rle_compact(hi, lo, n_dev))
         return int(cs)  # single scalar fetch = fence; forces everything
 
     def run_pipeline(k: int) -> float:

@@ -279,15 +279,15 @@ def sort_canonical_packed_u48(lanes: jnp.ndarray, invalid_words: jnp.ndarray, k:
     t = jnp.where(valid, t, SENTINEL)
     b16 = jnp.where(valid, b, 0xFFFF).astype(jnp.uint16)
     n_valid = valid.astype(jnp.int32).sum()
-    from .sort_tiled import sort_u48_tiled, tiled_sort_enabled
-
-    if tiled_sort_enabled():
-        # ORION_KMER_TILED_SORT: whole-batch tiled mixed-dtype sort --
-        # 6 honest bytes/element through every Pallas stage, vs
-        # lax.sort's u16->u32 padding (ops/sort_tiled.py; falls back to
-        # lax.sort on ineligible shapes)
-        st, sb = sort_u48_tiled(t, b16)
-        return st, _widen_b16(st, sb), n_valid
+    # (round 4: a tiled mixed-dtype whole-batch sort -- 6 B/element
+    # bitonic network, ops/sort_tiled.py -- was chip-validated
+    # plane-exact here but measured 0.58x lax.sort((u32,u16)) at 2^22:
+    # the O(n log^2 n) network loses more than the 25% byte cut buys.
+    # Deleted rather than kept as a dormant fork; numbers in BASELINE.md
+    # round-4 notes, harness tools/bench_sort.py, code in git history
+    # @b1b261f.  lax.sort pads the u16 operand to u32 internally, so
+    # the chunk sort still prices like (u32, u32) -- the narrowing win
+    # lives in the merge forest / RLE / host-link tiers instead.)
     if n_positions % CHUNK_POSITIONS != 0 or n_positions <= CHUNK_POSITIONS:
         st, sb = jax.lax.sort((t, b16), num_keys=2)
         return st, _widen_b16(st, sb), n_valid

@@ -141,7 +141,7 @@ def _route_and_sort(lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int):
 
 
 def _route_and_sort_u48(
-    lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int, widen: bool = True
+    lanes_blk, inv_words_blk, k: int, n_shards: int, cap: int
 ):
     """32 < 2k <= 48 variant of _route_and_sort: keys are narrowed to a
     (t u32, b u16) pair (ops.count.narrow_u48) BEFORE the all_to_all, so
@@ -213,11 +213,6 @@ def _route_and_sort_u48(
     st2, sb16 = jax.lax.sort((rt, rb16), num_keys=2)
     n_valid = mine.astype(jnp.int32).sum()
     any_overflow = jax.lax.psum(overflow, "shard")
-    if not widen:
-        # ORION_KMER_U16_FOREST: the per-shard forest keeps b as a real
-        # u16 plane (ops/merge_mixed.py) -- widening happens at the
-        # flush RLE instead
-        return st2, sb16, n_valid, any_overflow
     return st2, _widen_b16(st2, sb16), n_valid, any_overflow
 
 
@@ -325,13 +320,9 @@ class ShardedCountTable:
         self._route_u48 = self._u48 and os.environ.get(
             "ORION_KMER_SHARDED_U48", "1"
         ) != "0"
-        # ORION_KMER_U16_FOREST=1: per-shard forests carry b as a real
-        # u16 plane (25% less merge traffic; same flag + Mosaic caveats
-        # as the single-chip table -- ops/merge_mixed.py).  Requires the
-        # narrowed route (it is what produces the u16 plane).
-        from ..ops.merge_mixed import u16_forest_enabled
-
-        self._n16 = self._route_u48 and u16_forest_enabled()
+        # (a u16-b-plane forest variant was chip-validated in round 4
+        # but measured at parity, not the projected +8-10%; deleted --
+        # see engine.DeviceCountTable and BASELINE.md round-4 notes)
         self._tuple_len = 2 if self._single else 3
         self._runs: dict[int, tuple] = {}
         # Per-stage byte/dispatch accounting (VERDICT r3 item 6): pure
@@ -401,13 +392,11 @@ class ShardedCountTable:
             # during a tunnel outage, so the first real-chip sharded run
             # gets a flag flip (not a code revert) if the u16 a2a or the
             # (u32, u16) lax.sort misbehaves there
-            n16 = self._n16
-
             if self._route_u48:
 
                 def per_device(lanes_blk, inv_words_blk):
                     shi, slo, n_valid, ovf = _route_and_sort_u48(
-                        lanes_blk, inv_words_blk, k, S, cap, widen=not n16
+                        lanes_blk, inv_words_blk, k, S, cap
                     )
                     return shi[None], slo[None], n_valid[None], ovf[None]
 
@@ -454,15 +443,8 @@ class ShardedCountTable:
             in_specs = (P("shard", None), P("shard")) * 2
             out_specs = (P("shard", None), P("shard"))
         else:
-            if self._n16:
-                from ..ops.merge_mixed import merge_sorted_streams_u48
-
-                merge2 = merge_sorted_streams_u48
-            else:
-                merge2 = merge_sorted_streams
-
             def per_device(a_hi, a_lo, a_n, b_hi, b_lo, b_n):
-                mhi, mlo = merge2(
+                mhi, mlo = merge_sorted_streams(
                     a_hi.reshape(-1),
                     a_lo.reshape(-1),
                     b_hi.reshape(-1),
@@ -556,8 +538,6 @@ class ShardedCountTable:
         """Key-plane bytes per element through per-shard forest merges."""
         if self._single:
             return 4
-        if self._n16:
-            return 6  # u16 forest keeps b narrow through the merges
         return 8
 
     def stats_report(self) -> dict:
@@ -572,7 +552,6 @@ class ShardedCountTable:
         st["route"] = (
             "single" if self._single else ("u48" if self._route_u48 else "pair")
         )
-        st["u16_forest"] = bool(self._n16)
         st["a2a_bytes_per_position"] = round(st["a2a_bytes_sent"] / pos, 3)
         st["ici_bytes_per_position"] = round(st["a2a_bytes_ici"] / pos, 3)
         st["host_link_bytes_per_position"] = round(st["host_link_bytes"] / pos, 4)
@@ -598,15 +577,8 @@ class ShardedCountTable:
             in_specs = (P("shard", None), P("shard"))
             out_specs = (P("shard", None), P("shard", None), P("shard"))
         else:
-            if self._n16:
-                from ..ops.merge_mixed import rle_compact_u48
-
-                rle2 = rle_compact_u48  # widens b in-program; u32 out
-            else:
-                rle2 = rle_compact
-
             def per_shard(h, l, nn):
-                uhi, ulo, ucnt, nu = rle2(
+                uhi, ulo, ucnt, nu = rle_compact(
                     h.reshape(-1), l.reshape(-1), nn.reshape(())
                 )
                 return uhi[None], ulo[None], ucnt[None], nu[None]

@@ -141,3 +141,79 @@ def test_compact_left_pallas_matches_xla(monkeypatch):
         nk = int(np.asarray(keep).sum())
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(r)[:nk], np.asarray(g)[:nk])
+
+
+class TestSub32PlaneWidening:
+    """sort_pallas._gt/_ce_lanes widen sub-32-bit planes to u32
+    in-register: Mosaic v5e rejects 16-bit vector compares (both
+    signednesses) and u16 pltpu.roll (tools/probe_u16_mosaic.py, round
+    4).  The guards are generic hardening for any future narrow-plane
+    kernel; these tests keep them covered after the u16-forest fork was
+    retired (interpret mode checks semantics; the lowering itself was
+    chip-validated byte-exact before the fork's deletion)."""
+
+    def test_gt_u16_plane_matches_widened(self):
+        rng = np.random.default_rng(7)
+        a_t = jnp.asarray(rng.integers(0, 1 << 8, 256, np.uint32))
+        b_t = jnp.asarray(rng.integers(0, 1 << 8, 256, np.uint32))
+        a_b = rng.integers(0, 1 << 16, 256, np.uint32)
+        b_b = rng.integers(0, 1 << 16, 256, np.uint32)
+        got = sp._gt(
+            [a_t, jnp.asarray(a_b.astype(np.uint16))],
+            [b_t, jnp.asarray(b_b.astype(np.uint16))],
+            2,
+        )
+        want = sp._gt(
+            [a_t, jnp.asarray(a_b)], [b_t, jnp.asarray(b_b)], 2
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # the compare itself must run at >= 32 bits: unsigned u16
+        # ordering across the 0x8000 boundary is the failure mode a
+        # signed-i16 compare would get wrong
+        hi16 = jnp.asarray(np.full(128, 0x8001, np.uint16)).reshape(1, 128)
+        lo16 = jnp.asarray(np.full(128, 0x0001, np.uint16)).reshape(1, 128)
+        one = jnp.zeros((1, 128), jnp.uint32)
+        assert bool(np.asarray(sp._gt([one, hi16], [one, lo16], 2)).all())
+
+    def test_ce_lanes_u16_payload_roundtrip(self):
+        # one ascending CE pass at lane stride 1 over a (u32 key, u16
+        # payload) pair: the u16 plane must move with its key and come
+        # back as u16
+        rng = np.random.default_rng(11)
+        key = rng.integers(0, 1 << 30, 128, np.uint32)
+        pay = (key & 0xFFFF).astype(np.uint16)
+
+        def no_desc(l_iota):
+            return jnp.zeros((), jnp.bool_)
+
+        planes = [
+            jnp.asarray(key).reshape(1, 128),
+            jnp.asarray(pay).reshape(1, 128),
+        ]
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        import jax
+
+        def kernel(k_ref, p_ref, ok_ref, op_ref):
+            outs = sp._ce_lanes([k_ref[:], p_ref[:]], 1, no_desc, n_keys=1)
+            ok_ref[:] = outs[0]
+            op_ref[:] = outs[1]
+
+        spec = pl.BlockSpec((1, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
+        ok, op = pl.pallas_call(
+            kernel,
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((1, 128), jnp.uint16),
+            ],
+            interpret=True,
+        )(*planes)
+        ok = np.asarray(ok).reshape(-1)
+        op = np.asarray(op).reshape(-1)
+        assert op.dtype == np.uint16
+        # payload still pairs with its key after the exchanges
+        np.testing.assert_array_equal(op, (ok & 0xFFFF).astype(np.uint16))
+        # and each adjacent even/odd lane pair is ascending
+        assert bool((ok[0::2] <= ok[1::2]).all())

@@ -1,5 +1,4 @@
-"""Chunk-sort microbench (VERDICT r3 item 5): lax.sort variants vs the
-tiled mixed-dtype sort at CHUNK_POSITIONS scale.
+"""Chunk-sort microbench (VERDICT r3 item 5) at CHUNK_POSITIONS scale.
 
 Run ON the TPU (one client at a time):
     python tools/bench_sort.py [log2_n]
@@ -11,10 +10,17 @@ per iteration would measure the 28 ms tunnel RTT):
 
   lax_u32_u32    2-key lax.sort on (u32, u32)   -- the k=31 chunk sort
   lax_u32_u16    2-key lax.sort on (u32, u16)   -- the k=21 chunk sort
-                 (measured round 3: same cost as u32_u32 -> XLA pads)
-  tiled_u48      ops/sort_tiled.sort_u48_tiled  -- 6 honest B/elem
-Gate for flipping ORION_KMER_TILED_SORT: tiled_u48 >= 1.3x lax_u32_u16
-AND byte-identical planes (checked here each run).
+
+RESULT HISTORY (TPU v5e):
+  round 3: lax (u32, u16) == lax (u32, u32) per element -- XLA pads the
+  u16 operand to u32, so key narrowing buys nothing in the sort itself.
+  round 4 @b1b261f: a tiled mixed-dtype bitonic sort (ops/sort_tiled.py,
+  honest 6 B/element through every Pallas stage, plane-exact on chip)
+  measured 19.70 ms vs lax's 11.40 ms at 2^22 = 0.58x -- the
+  O(n log^2 n) network loses more than the 25% byte cut buys.  The
+  module was deleted (gate was >= 1.3x); code in git history @b1b261f.
+  Beating lax.sort here needs an O(n)-pass radix design, not a better
+  bitonic network.
 """
 
 import os
@@ -22,8 +28,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-os.environ.setdefault("ORION_KMER_TILED_SORT", "1")
 
 import numpy as np
 
@@ -33,8 +37,6 @@ enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp
-
-from orion_kmer_tpu.ops.sort_tiled import sort_u48_tiled
 
 LOGN = int(sys.argv[1]) if len(sys.argv) > 1 else 22
 N = 1 << LOGN
@@ -74,28 +76,13 @@ def main():
     b16 = jax.device_put(jnp.asarray((vals & np.uint64(0x3FF)).astype(np.uint16)))
     print(f"n = 2^{LOGN} = {N}, device = {jax.devices()[0]}", flush=True)
 
-    # correctness gate first: tiled must be plane-exact vs lax
-    st, sb = sort_u48_tiled(t, b16)
-    et, eb = jax.lax.sort((t, b16), num_keys=2)
-    ok_t = bool(jnp.array_equal(st, et))
-    ok_b = bool(jnp.array_equal(sb, eb))
-    print(f"tiled == lax planes: t={ok_t} b={ok_b}", flush=True)
-
     d_pair = _chain(
         lambda a, b: jax.lax.sort((a, b), num_keys=2), (t, b32), "lax_u32_u32"
     )
     d_mixed = _chain(
         lambda a, b: jax.lax.sort((a, b), num_keys=2), (t, b16), "lax_u32_u16"
     )
-    d_tiled = _chain(lambda a, b: sort_u48_tiled(a, b), (t, b16), "tiled_u48")
-    print(
-        f"tiled speedup vs lax_u32_u16: {d_mixed / d_tiled:.3f}x "
-        f"(gate >= 1.3x); vs lax_u32_u32: {d_pair / d_tiled:.3f}x",
-        flush=True,
-    )
-    if not (ok_t and ok_b):
-        print("CORRECTNESS FAILED -- do not flip the flag", flush=True)
-        sys.exit(1)
+    print(f"lax (u32,u16) vs (u32,u32): {d_pair / d_mixed:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
