@@ -42,9 +42,9 @@ def sketch_file(path, k: int, scaled: int, num: int = 0, batch_positions: int | 
     from ..ops.sketch import sketch_packed
 
     if batch_positions is None:
-        from ..engine import DEFAULT_BATCH
+        from ..engine import default_batch
 
-        batch_positions = DEFAULT_BATCH
+        batch_positions = default_batch()
     acc = CountAccumulator()
     batches_since_trim = 0
     for batch in stream_file_batches(

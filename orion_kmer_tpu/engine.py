@@ -35,7 +35,27 @@ from .ops.setops import membership
 
 # Positions per device batch.  TPU batches are large to amortize dispatch;
 # CPU (tests) round down hard via bucketing anyway.
-DEFAULT_BATCH = int(os.environ.get("ORION_KMER_BATCH", 1 << 22))
+#
+# Resolved lazily (0 = unresolved) because the right size is
+# backend-dependent: the round-4 steady-state A/B (tools/prof_steady.py,
+# BASELINE.md) measured 2^24 batches at 77 ms/batch device-resident
+# (217M pos/s) vs 2^22 at 120 ms/batch (35M pos/s) -- per-dispatch RTT
+# and the ~200 ms fixed per-transfer overhead both amortize 4x -- and
+# 1.53x end-to-end on the 120M-position fixture.  The 2^24 batch still
+# chunk-sorts at CHUNK_POSITIONS internally, so the device-side cost is
+# ~neutral; the win is fewer tunnel round trips.  ORION_KMER_BATCH
+# overrides either way; CPU keeps 2^22 so the test mesh stays fast.
+DEFAULT_BATCH = int(os.environ.get("ORION_KMER_BATCH", 0))
+
+
+def default_batch() -> int:
+    """Positions per device batch (2^24 on TPU, 2^22 elsewhere)."""
+    global DEFAULT_BATCH
+    if not DEFAULT_BATCH:
+        import jax
+
+        DEFAULT_BATCH = (1 << 24) if jax.default_backend() == "tpu" else (1 << 22)
+    return DEFAULT_BATCH
 _MIN_BUCKET = 4096
 _READS_BUCKET = 4096
 
@@ -87,7 +107,7 @@ def iter_packed_batches(
     records: Iterable[Record],
     k: int,
     normalize: bool = True,
-    batch_positions: int = DEFAULT_BATCH,
+    batch_positions: int = 0,
     with_owner: bool = False,
 ) -> Iterator[PackedBatch]:
     """Pack records into batches of 2-bit codes with separators/halos.
@@ -97,6 +117,7 @@ def iter_packed_batches(
     same global record index (= first_rid + local owner), and callers
     must sum per-record statistics across batches.
     """
+    batch_positions = batch_positions or default_batch()
     sep = k - 1
     sep_arr = np.full(sep, codec.INVALID_CODE, dtype=np.uint8)
 
@@ -299,12 +320,13 @@ def stream_file_batches(
     path,
     k: int,
     normalize: bool = True,
-    batch_positions: int = DEFAULT_BATCH,
+    batch_positions: int = 0,
     with_owner: bool = False,
 ) -> Iterator[PackedBatch]:
     """File -> PackedBatch stream via the native C++ tokenizer when
     available (one pass, zero Python per record, O(chunk) memory), else
     the line-streaming Python parser (O(record) memory)."""
+    batch_positions = batch_positions or default_batch()
     from .ingest import native
     from .ingest.fastx import FastxParseError
 
@@ -498,13 +520,13 @@ class DeviceCountTable:
         # path is the pair path verbatim on (t, b), and only _spill's
         # u64 reconstruction differs
         self._u48 = 32 < 2 * k <= 48
-        # ORION_KMER_U16_FOREST=1: carry b as a REAL u16 plane through
-        # the merge forest (6 bytes/element instead of 8, ~25% less
-        # merge traffic; ops/merge_mixed.py).  Off by default until the
-        # Mosaic u16 compare-exchange path is validated on the chip.
-        from .ops.merge_mixed import u16_forest_enabled
-
-        self._n16 = self._u48 and u16_forest_enabled()
+        # (round 4: a u16-b-plane merge-forest variant was validated
+        # on-chip byte-exact but measured AT PARITY, not the projected
+        # +8-10% -- Mosaic v5e lacks 16-bit compare/roll, and the
+        # in-register widening plus 16-bit packing overhead ate the
+        # 25% HBM saving.  Deleted rather than kept as a dormant fork;
+        # numbers in BASELINE.md round-4 notes, probe in
+        # tools/probe_u16_mosaic.py, code in git history @b1b261f.)
         self._tuple_len = 2 if self._single else 3
         # capacity (power of two) -> run tuple
         self._runs: dict[int, tuple] = {}
@@ -530,10 +552,6 @@ class DeviceCountTable:
 
             return sort_canonical_packed_single(lanes, inv_words, self.k)
         if self._u48:
-            if self._n16:
-                from .ops.merge_mixed import sort_canonical_packed_u48_n16
-
-                return sort_canonical_packed_u48_n16(lanes, inv_words, self.k)
             from .ops.count import sort_canonical_packed_u48
 
             return sort_canonical_packed_u48(lanes, inv_words, self.k)
@@ -557,17 +575,12 @@ class DeviceCountTable:
             from .ops.sort_pallas import merge_sorted_single
 
             return (merge_sorted_single(a[0], b[0]), a[1] + b[1])
-        if self._n16:
-            from .ops.merge_mixed import merge_sorted_streams_u48
-
-            mt, mb = merge_sorted_streams_u48(a[0], a[1], b[0], b[1])
-            return (mt, mb, a[2] + b[2])
         from .ops.sort_pallas import merge_sorted_streams
 
         mhi, mlo = merge_sorted_streams(a[0], a[1], b[0], b[1])
         return (mhi, mlo, a[2] + b[2])
 
-    def warm(self, size: int = DEFAULT_BATCH, max_depth: int | None = None):
+    def warm(self, size: int = 0, max_depth: int | None = None):
         """Trace + execute the batch sort, every per-level merge, and
         every flush RLE cap once on dummy inputs, in a canonical order.
 
@@ -579,6 +592,7 @@ class DeviceCountTable:
         the cache hot this costs ~1-2 s per level; dummy results carry
         n_valid = 0 and are discarded.
         """
+        size = size or default_batch()
         if max_depth is None:
             max_depth = max((self.FLUSH_WINDOWS // size).bit_length() - 1, 0)
         from .ops.count import rle_compact, rle_compact_single
@@ -592,13 +606,6 @@ class DeviceCountTable:
             if self._single:
                 dummy = (jnp.full(cap, 0xFFFFFFFF, jnp.uint32), zero)
                 rle_compact_single(dummy[0], zero)
-            elif self._n16:
-                from .ops.merge_mixed import rle_compact_u48
-
-                plane = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
-                b16 = jnp.full(cap, 0xFFFF, jnp.uint16)
-                dummy = (plane, b16, zero)
-                rle_compact_u48(plane, b16, zero)
             else:
                 plane = jnp.full(cap, 0xFFFFFFFF, jnp.uint32)
                 dummy = (plane, plane, zero)
@@ -720,14 +727,6 @@ class DeviceCountTable:
                 lo, n_dev = self._runs[cap]
                 ulo, ucnt, n_u = rle_compact_single(lo, n_dev)
                 key_planes, cnt = [ulo], ucnt
-            elif self._n16:
-                from .ops.merge_mixed import rle_compact_u48
-
-                t, b16, n_dev = self._runs[cap]
-                # widens b in-program; output planes are u32 so the
-                # fold/combine/spill tier is shared with the pair path
-                uhi, ulo, ucnt, n_u = rle_compact_u48(t, b16, n_dev)
-                key_planes, cnt = [uhi, ulo], ucnt
             else:
                 hi, lo, n_dev = self._runs[cap]
                 uhi, ulo, ucnt, n_u = rle_compact(hi, lo, n_dev)
@@ -818,14 +817,23 @@ def _staged_batches(path, k: int, normalize: bool):
     device compute (it was serialized with the dispatch loop before --
     on ~30 MB/s tunneled hosts the link is a first-order term).
 
-    ORION_KMER_STAGE_THREADS=N (default 1) additionally fans the
-    transfers over N threads with an order-preserving bounded window:
-    if the backend's host->device copy blocks per call (tunneled PJRT
-    transports pay an RTT + serialized bandwidth per transfer), N
-    in-flight transfers pipeline the link instead of paying latency
-    per batch.  Order and results are identical by construction.
+    ORION_KMER_STAGE_THREADS=N (default 4 on TPU, 1 elsewhere)
+    additionally fans the transfers over N threads with an
+    order-preserving bounded window: if the backend's host->device copy
+    blocks per call (tunneled PJRT transports pay an RTT + serialized
+    bandwidth per transfer), N in-flight transfers pipeline the link
+    instead of paying latency per batch.  Order and results are
+    identical by construction (byte-identical on the verified goldens;
+    round-4 A/B: 1.14x end-to-end at 2^22 batches, additive with the
+    2^24 default batch -- BASELINE.md steady-state table).
     """
-    stage = max(1, int(os.environ.get("ORION_KMER_STAGE_THREADS", "1")))
+    env = os.environ.get("ORION_KMER_STAGE_THREADS")
+    if env is not None:
+        stage = max(1, int(env))
+    else:
+        import jax
+
+        stage = 4 if jax.default_backend() == "tpu" else 1
 
     def packed():
         for batch in stream_file_batches(path, k, normalize=normalize):
@@ -890,9 +898,9 @@ def count_file(path, k: int, normalize: bool = True) -> tuple[np.ndarray, np.nda
             est_positions = fsize * (8 if ext in (".gz", ".xz", ".zst", ".zstd") else 1)
             depth_cap = max(
                 min(
-                    max(est_positions // DEFAULT_BATCH, 1).bit_length(),
+                    max(est_positions // default_batch(), 1).bit_length(),
                     max(
-                        (DeviceCountTable.FLUSH_WINDOWS // DEFAULT_BATCH).bit_length()
+                        (DeviceCountTable.FLUSH_WINDOWS // default_batch()).bit_length()
                         - 1,
                         0,
                     ),
@@ -1041,7 +1049,7 @@ def query_records(
     return _query_batches(db_dev, batches, k, min_hits, lambda g: lens[g] >= k)
 
 
-def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions: int = DEFAULT_BATCH) -> list[bytes]:
+def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions: int = 0) -> list[bytes]:
     """Native-ingest query path: streaming chunked C parse feeding the
     wire-format query step; memory is O(chunk), never O(reads file)
     (unlike query.rs:62-67, which reads all reads into RAM).
@@ -1052,6 +1060,7 @@ def query_file(db_vals: np.ndarray, path, k: int, min_hits: int, batch_positions
     batches each compiled a fresh program otherwise (~40 s per shape on
     tunneled hosts; same fix as engine._rebatch_codes for counting).
     """
+    batch_positions = batch_positions or default_batch()
     from .ingest import native
     from .ingest.fastx import FastxParseError
 

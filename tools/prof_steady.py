@@ -41,7 +41,7 @@ from orion_kmer_tpu.engine import (  # noqa: E402
 
 import jax  # noqa: E402
 
-print(f"backend={jax.default_backend()} batch={engine.DEFAULT_BATCH}")
+print(f"backend={jax.default_backend()} batch={engine.default_batch()}")
 
 warm_depth = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 table = DeviceCountTable(k)
@@ -61,8 +61,8 @@ for _ in range(8):
 rtt_ms = (time.monotonic() - t0) / 8 * 1e3
 
 # (b) host->device link: one batch worth of wire data (lanes + inv)
-lanes_h = np.zeros(engine.DEFAULT_BATCH // 16, np.uint32)
-inv_h = np.zeros(engine.DEFAULT_BATCH // 32, np.uint32)
+lanes_h = np.zeros(engine.default_batch() // 16, np.uint32)
+inv_h = np.zeros(engine.default_batch() // 32, np.uint32)
 nbytes = lanes_h.nbytes + inv_h.nbytes
 int(jnp.asarray(lanes_h).sum())  # warm the transfer+sum programs
 t0 = time.monotonic()
@@ -81,19 +81,19 @@ print(
 # (c) pure dispatch+compute: update_packed on pre-staged device arrays,
 # fenced once via the flush scalar (no per-iter transfer, no fetch)
 dl = jax.device_put(jnp.asarray(lanes_h))
-di = jax.device_put(jnp.full(engine.DEFAULT_BATCH // 32, 0xFFFFFFFF, jnp.uint32))
+di = jax.device_put(jnp.full(engine.default_batch() // 32, 0xFFFFFFFF, jnp.uint32))
 t2 = DeviceCountTable(k)
 iters = 8
 t0 = time.monotonic()
 for _ in range(iters):
-    t2.update_packed(dl, di, engine.DEFAULT_BATCH, engine.DEFAULT_BATCH)
+    t2.update_packed(dl, di, engine.default_batch(), engine.default_batch())
 # fence on the merged key planes themselves (an output fetch waits for
 # the producing program; n_valid alone wouldn't force the merges)
 total_n = sum(int(r[0][0]) + int(r[-1]) for r in t2._runs.values())
 disp_only_ms = (time.monotonic() - t0) / iters * 1e3
 print(
     f"microprobe: device-resident update_packed {disp_only_ms:.1f} ms/batch "
-    f"({engine.DEFAULT_BATCH / (disp_only_ms / 1e3) / 1e6:.0f}M pos/s)",
+    f"({engine.default_batch() / (disp_only_ms / 1e3) / 1e6:.0f}M pos/s)",
     flush=True,
 )
 del t2

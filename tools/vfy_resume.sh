@@ -3,9 +3,8 @@
 # the runbook between steps).  Same order, same logs.
 set -x
 cd /root/repo
-timeout 150 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
+timeout 300 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
 timeout 3600 python bench.py 2>/tmp/bench_head.err | tee /tmp/bench_head.json
 bash tools/vfy_steady_drive.sh 2>&1 | tee /tmp/vfy_steady.log
-bash tools/vfy_u16.sh 2>&1 | tee /tmp/vfy_u16.log
 timeout 1800 python tools/bench_sort.py 2>&1 | tee /tmp/bench_sort.log
 echo RESUME-RUNBOOK-DONE

@@ -15,7 +15,7 @@ cd /root/repo
 
 [ -s /tmp/vfy/big.fasta ] || python tools/vfy_gen.py || exit 1
 
-timeout 150 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
+timeout 300 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
 
 bash tools/vfy_drive.sh 2>&1 | tee /tmp/vfy_drive.log
 timeout 900 python tools/vfy_check_all.py | tee /tmp/vfy_check.log
@@ -25,7 +25,6 @@ timeout 3600 python bench.py | tee /tmp/bench_head.json
 
 bash tools/vfy_steady_drive.sh 2>&1 | tee /tmp/vfy_steady.log
 
-bash tools/vfy_u16.sh 2>&1 | tee /tmp/vfy_u16.log
 
 timeout 1800 python tools/bench_sort.py 2>&1 | tee /tmp/bench_sort.log
 

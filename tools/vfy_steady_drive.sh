@@ -9,7 +9,7 @@ F=/tmp/vfy/ecoli100m.fastq
 [ -s "$F" ] || python tools/vfy_gen.py --steady || { echo "FIXTURE GEN FAILED"; exit 1; }
 
 # tunnel must be healthy first
-timeout 150 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
+timeout 300 python tools/vfy_probe.py || { echo "TUNNEL DOWN"; exit 1; }
 
 # (a) baseline: 4M batches, serial staging
 timeout 2400 python -u tools/prof_steady.py $F 31 22 5 > /tmp/prof_a.log 2>&1

@@ -8,7 +8,7 @@ attempt=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
   attempt=$((attempt+1))
   echo "[watch] probe attempt $attempt at $(date -u +%H:%M:%S)"
-  if timeout 150 python tools/vfy_probe.py; then
+  if timeout 300 python tools/vfy_probe.py; then
     echo "[watch] TUNNEL UP at $(date -u +%H:%M:%S) -- launching runbook"
     bash tools/vfy_return.sh 2>&1 | tee /tmp/vfy_return.log
     echo "[watch] runbook rc=$?"
