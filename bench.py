@@ -39,8 +39,12 @@ import time
 import numpy as np
 
 K = 31
-BATCH = 1 << 22  # positions per pipeline batch (4M)
-N_BATCHES = 8  # 32M positions total
+# Positions per pipeline batch: resolved in main() to the engine's
+# backend-dependent default (2^24 on TPU since the round-4 steady-state
+# A/B, 2^22 elsewhere) so the bench measures the config a user actually
+# gets.  ORION_KMER_BATCH overrides both the engine and this.
+BATCH = 0
+N_BATCHES = 8  # x BATCH positions total (128M at the TPU default)
 N_DISTINCT = 4  # distinct batches cycled (device memory stays bounded)
 CPU_PROXY_N = 1 << 21
 
@@ -53,7 +57,7 @@ CPU_PROXY_N = 1 << 21
 # for up to 75 min (one client at a time per CLAUDE.md), then give up
 # with a nonzero exit: a transient outage degrades to a late number, a
 # long one to a diagnosed failure instead of a silent empty artifact.
-PROBE_TIMEOUT_S = 150  # warm tiny-op is ~1.5 s; cold import+compile ~40 s
+PROBE_TIMEOUT_S = 300  # warm tiny-op ~1.5 s; a cold CLAIM was measured at 126 s
 PROBE_INTERVAL_S = 12 * 60
 PROBE_MAX_WAIT_S = 75 * 60
 
@@ -121,8 +125,11 @@ def main() -> None:
     enable_persistent_cache()
 
     from orion_kmer_tpu import codec
-    from orion_kmer_tpu.engine import DeviceCountTable, pack_for_transfer
+    from orion_kmer_tpu.engine import DeviceCountTable, default_batch, pack_for_transfer
     from orion_kmer_tpu.ops.count import rle_compact, sort_canonical_packed
+
+    global BATCH
+    BATCH = BATCH or default_batch()
 
     rng = np.random.default_rng(0)
     batches = []
