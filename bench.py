@@ -47,6 +47,8 @@ BATCH = 0
 N_BATCHES = 8  # x BATCH positions total (128M at the TPU default)
 N_DISTINCT = 4  # distinct batches cycled (device memory stays bounded)
 CPU_PROXY_N = 1 << 21
+QUERY_DB_N = 1 << 22  # DB uniques for the query metric (A/B: tools/vfy_query_ab.py)
+QUERY_READS = 4096
 
 # Tunnel-outage resilience (round-3 postmortem: BENCH_r03.json was empty
 # because the driver's bench run landed inside a >4 h tunnel outage and
@@ -130,6 +132,36 @@ def main() -> None:
 
     global BATCH
     BATCH = BATCH or default_batch()
+    passes = int(os.environ.get("ORION_KMER_BENCH_PASSES", "3"))
+    # per-metric spread [min, median, max] across timing passes: single-
+    # shot device metrics on a shared chip are not evidence (VERDICT r4
+    # missing #3) -- the artifact must carry its own variance story
+    spread: dict[str, list[float]] = {}
+
+    def record(name: str, per_pass_rates: list[float], digits: int = 1) -> float:
+        r = sorted(per_pass_rates)
+        spread[name] = [
+            round(r[0], digits),
+            round(r[len(r) // 2], digits),
+            round(r[-1], digits),
+        ]
+        return r[-1]  # best of N (min time): the chip's capability
+
+    def time_chained(step_fn, iters: int = 16) -> list[float]:
+        """Per-iteration seconds for `passes` runs of `iters` chained
+        dispatches fenced by one scalar fetch (see module docstring)."""
+        import jax.numpy as _jnp
+
+        int(step_fn(_jnp.int32(0)))  # compile + warm
+        dts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            carry = _jnp.int32(0)
+            for _ in range(iters):
+                carry = step_fn(carry)
+            int(carry)
+            dts.append((time.perf_counter() - t0) / iters)
+        return dts
 
     rng = np.random.default_rng(0)
     batches = []
@@ -166,24 +198,24 @@ def main() -> None:
             cs = cs ^ checksum(*rle_compact(hi, lo, n_dev))
         return int(cs)  # single scalar fetch = fence; forces everything
 
-    def run_pipeline(k: int) -> float:
+    def run_pipeline(k: int) -> list[float]:
         pipeline(k)  # compile + warm every shape in the forest
-        best = float("inf")
-        for _ in range(3):
+        windows = N_BATCHES * (BATCH - k + 1)
+        rates = []
+        for _ in range(passes):
             t0 = time.perf_counter()
             pipeline(k)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            rates.append(windows / (time.perf_counter() - t0))
+        return rates
 
-    best = run_pipeline(K)
-    total_windows = N_BATCHES * (BATCH - K + 1)
-    sustained_kmers_per_s = total_windows / best
+    rates31 = run_pipeline(K)
+    sustained_kmers_per_s = record("sustained_k31", rates31)
+    best = (N_BATCHES * (BATCH - K + 1)) / sustained_kmers_per_s
 
     # k=21: the other half of the BASELINE.json north-star metric --
     # full pipeline on the 32 < 2k <= 48 narrowed-key path.
     K21 = 21
-    best21 = run_pipeline(K21)
-    sustained_k21_kmers_per_s = (N_BATCHES * (BATCH - K21 + 1)) / best21
+    sustained_k21_kmers_per_s = record("sustained_k21", run_pipeline(K21))
 
     # Secondary: the per-batch device step alone (extract + global sort),
     # checksum-consumed so nothing is DCE'd.
@@ -196,15 +228,10 @@ def main() -> None:
         ).astype(jnp.int32) + nv
 
     dl, di = batches[0]
-    int(step(dl, di, jnp.int32(0)))
-    iters = 16
-    t0 = time.perf_counter()
-    carry = jnp.int32(0)
-    for _ in range(iters):
-        carry = step(dl, di, carry)
-    int(carry)
-    step_dt = (time.perf_counter() - t0) / iters
-    step_kmers_per_s = (BATCH - K + 1) / step_dt
+    step_kmers_per_s = record(
+        "batch_step_k31",
+        [(BATCH - K + 1) / dt for dt in time_chained(lambda c: step(dl, di, c))],
+    )
 
     # Secondary: the k=15 single-plane batch step (2k <= 32 pipeline:
     # 1-key sort, one value plane -- half the sort bandwidth).
@@ -216,14 +243,10 @@ def main() -> None:
         slo, nv = sort_canonical_packed_single(lanes, inv, 15)
         return jnp.sum(slo, dtype=jnp.uint32).astype(jnp.int32) + nv
 
-    int(step15(dl, di, jnp.int32(0)))
-    t0 = time.perf_counter()
-    carry = jnp.int32(0)
-    for _ in range(iters):
-        carry = step15(dl, di, carry)
-    int(carry)
-    step15_dt = (time.perf_counter() - t0) / iters
-    step15_kmers_per_s = (BATCH - 15 + 1) / step15_dt
+    step15_kmers_per_s = record(
+        "batch_step_k15",
+        [(BATCH - 15 + 1) / dt for dt in time_chained(lambda c: step15(dl, di, c))],
+    )
 
     # Secondary: the k=21 batch step on the narrowed-key u48 path
     # ((t u32, b u16) chunk sorts: 6 bytes/element instead of 8).
@@ -237,14 +260,10 @@ def main() -> None:
             jnp.sum(st, dtype=jnp.uint32) ^ jnp.sum(sb, dtype=jnp.uint32)
         ).astype(jnp.int32) + nv
 
-    int(step21(dl, di, jnp.int32(0)))
-    t0 = time.perf_counter()
-    carry = jnp.int32(0)
-    for _ in range(iters):
-        carry = step21(dl, di, carry)
-    int(carry)
-    step21_dt = (time.perf_counter() - t0) / iters
-    step21_kmers_per_s = (BATCH - 21 + 1) / step21_dt
+    step21_kmers_per_s = record(
+        "batch_step_k21_u48",
+        [(BATCH - 21 + 1) / dt for dt in time_chained(lambda c: step21(dl, di, c))],
+    )
 
     # Secondary: FracMinHash sketching throughput (Gbp/s), wire-format path.
     from orion_kmer_tpu.ops.sketch import sketch_packed
@@ -257,25 +276,22 @@ def main() -> None:
             jnp.sum(h, dtype=jnp.uint32) ^ jnp.sum(c.astype(jnp.uint32))
         ).astype(jnp.int32) + nu
 
-    int(sketch_step(dl, di, jnp.int32(0)))
-    t0 = time.perf_counter()
-    carry = jnp.int32(0)
-    for _ in range(iters):
-        carry = sketch_step(dl, di, carry)
-    int(carry)
-    sketch_dt = (time.perf_counter() - t0) / iters
-    sketch_gbps = BATCH / sketch_dt / 1e9
+    sketch_gbps = record(
+        "sketch_gbps",
+        [BATCH / dt / 1e9 for dt in time_chained(lambda c: sketch_step(dl, di, c))],
+        digits=3,
+    )
 
     # Secondary: query throughput (windows screened against a DB set,
     # multiplicity hit counting -- query.rs:87-94 semantics).
     from orion_kmer_tpu.engine import _query_step_packed
 
-    db_n = 1 << 22
+    db_n = QUERY_DB_N
     dbv = np.unique(rng.integers(0, 1 << 62, size=db_n, dtype=np.uint64))
     db_hi = jax.device_put(jnp.asarray((dbv >> np.uint64(32)).astype(np.uint32)))
     db_lo = jax.device_put(jnp.asarray(dbv.astype(np.uint32)))
     db_valid = jax.device_put(jnp.ones(dbv.shape[0], dtype=bool))
-    nr = 4096
+    nr = QUERY_READS
     starts = jnp.asarray(
         np.sort(rng.choice(BATCH, size=nr, replace=False)).astype(np.int32)
     )
@@ -290,14 +306,15 @@ def main() -> None:
         )
         return jnp.sum(hits, dtype=jnp.int32) & 0x7FFF
 
-    int(query_step(dl, di, starts, db_hi, db_lo, db_valid, jnp.int32(0)))
-    t0 = time.perf_counter()
-    carry = jnp.int32(0)
-    for _ in range(iters):
-        carry = query_step(dl, di, starts, db_hi, db_lo, db_valid, carry)
-    int(carry)
-    query_dt = (time.perf_counter() - t0) / iters
-    query_windows_per_s = (BATCH - K + 1) / query_dt
+    query_windows_per_s = record(
+        "query_windows",
+        [
+            (BATCH - K + 1) / dt
+            for dt in time_chained(
+                lambda c: query_step(dl, di, starts, db_hi, db_lo, db_valid, c)
+            )
+        ],
+    )
 
     # CPU proxy (single-core numpy, identical semantics; best of 3 --
     # the shared host's load makes single runs noisy)
@@ -332,6 +349,8 @@ def main() -> None:
         "batch_step_k15_single_plane_kmers_per_s": round(step15_kmers_per_s, 1),
         "sketch_gbps_scaled1000": round(sketch_gbps, 3),
         "query_windows_per_s": round(query_windows_per_s, 1),
+        "timing_passes": passes,
+        "spread_min_med_max": spread,
     }
     print(json.dumps(result))
 

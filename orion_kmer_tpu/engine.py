@@ -33,29 +33,29 @@ from .ops.count import count_kmers, hits_per_read
 from .ops.kmers import extract_canonical, join_u64, split_u64
 from .ops.setops import membership
 
-# Positions per device batch.  TPU batches are large to amortize dispatch;
-# CPU (tests) round down hard via bucketing anyway.
-#
-# Resolved lazily (0 = unresolved) because the right size is
-# backend-dependent: the round-4 steady-state A/B (tools/prof_steady.py,
-# BASELINE.md) measured 2^24 batches at 77 ms/batch device-resident
-# (217M pos/s) vs 2^22 at 120 ms/batch (35M pos/s) -- per-dispatch RTT
-# and the ~200 ms fixed per-transfer overhead both amortize 4x -- and
-# 1.53x end-to-end on the 120M-position fixture.  The 2^24 batch still
-# chunk-sorts at CHUNK_POSITIONS internally, so the device-side cost is
-# ~neutral; the win is fewer tunnel round trips.  ORION_KMER_BATCH
-# overrides either way; CPU keeps 2^22 so the test mesh stays fast.
-DEFAULT_BATCH = int(os.environ.get("ORION_KMER_BATCH", 0))
+# Positions per device batch, resolved lazily (0 = unresolved) because
+# the right size is backend-dependent: the round-4 steady-state A/B
+# (tools/prof_steady.py, BASELINE.md) measured 2^24 batches 1.53x
+# end-to-end over 2^22 on TPU (dispatch RTT + fixed per-transfer
+# overhead amortize 4x; device-side cost ~neutral since batches still
+# chunk-sort at CHUNK_POSITIONS).  ORION_KMER_BATCH overrides either
+# way; CPU keeps 2^22 so the test mesh stays fast.
+_DEFAULT_BATCH = int(os.environ.get("ORION_KMER_BATCH", 0))
 
 
 def default_batch() -> int:
-    """Positions per device batch (2^24 on TPU, 2^22 elsewhere)."""
-    global DEFAULT_BATCH
-    if not DEFAULT_BATCH:
-        import jax
+    """Positions per device batch (2^24 on TPU/axon, 2^22 elsewhere).
 
-        DEFAULT_BATCH = (1 << 24) if jax.default_backend() == "tpu" else (1 << 22)
-    return DEFAULT_BATCH
+    Resolves the platform from jax.config / JAX_PLATFORMS when explicit
+    so host-only helpers never initialize a backend client (ADVICE r4:
+    on this one-client-at-a-time tunneled host, a stray client can wedge
+    the tunnel); only an unset platform falls back to default_backend()."""
+    global _DEFAULT_BATCH
+    if not _DEFAULT_BATCH:
+        p = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        p = p.split(",")[0].strip().lower() or jax.default_backend()
+        _DEFAULT_BATCH = (1 << 24) if p in ("tpu", "axon") else (1 << 22)
+    return _DEFAULT_BATCH
 _MIN_BUCKET = 4096
 _READS_BUCKET = 4096
 

@@ -23,35 +23,46 @@ logger = logging.getLogger("orion_kmer_tpu.parallel.distributed")
 _initialized = False
 
 
-def multihost_sharded_count(codes, invalid, k: int):
+def multihost_sharded_count(codes, invalid, k: int, capacity_factor: float = 2.0,
+                            stats: dict | None = None):
     """One sharded count step across EVERY process's devices.
 
     Multi-process composition of the hash-range sharded counter
     (parallel.sharded): all processes pass the same full (codes,
     invalid) host arrays; each contributes its addressable shards via
-    jax.make_array_from_callback, the per-device step routes k-mers to
-    their hash-range owner, and results are all_gather-replicated so
-    every process can read them without cross-host fetches.  Returns
-    (vals uint64, counts int64), identical on every process.
+    jax.make_array_from_callback, the per-device step owner-routes
+    extracted k-mers with the capacity-bounded all_to_all
+    (sharded.route_to_owners -- the SAME route the production
+    ShardedCountTable uses, riding ICI within a host and DCN across
+    hosts), and only the small per-owner RLE RESULTS are
+    all_gather-replicated so every process can read them without
+    cross-host fetches.  Capacity overflow (psum-detected) retries with
+    doubled capacity, preserving exactness.  Returns (vals uint64,
+    counts int64), identical on every process.
+
+    ``stats``, if given, is filled with the same shape-derived traffic
+    accounting as ShardedCountTable.stats_report (a2a/ici bytes per
+    position): the DCN-analog scaling evidence for BASELINE config 5.
 
     This is the DCN-spanning analog of sharded.sharded_count (the
     reference has no multi-host precedent; BASELINE config 5 names
     N>=2 hosts).
     """
+    import math
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from ..ops.count import count_kmers
     from ..ops.kmers import extract_canonical, join_u64
-    from .sharded import _owner_of, _shard_blocks
+    from .sharded import _shard_blocks, route_to_owners
 
     devices = np.array(jax.devices())
     n_shards = devices.size
     mesh = Mesh(devices, ("shard",))
-    blk_codes, blk_invalid, _block = _shard_blocks(codes, invalid, k, n_shards)
+    blk_codes, blk_invalid, block = _shard_blocks(codes, invalid, k, n_shards)
     sharding = NamedSharding(mesh, P("shard"))
 
     def mk(arr):
@@ -61,37 +72,77 @@ def multihost_sharded_count(codes, invalid, k: int):
 
     d_codes, d_invalid = mk(blk_codes), mk(blk_invalid)
 
-    def per_device(codes_blk, invalid_blk):
-        codes_blk = codes_blk.reshape(-1)
-        invalid_blk = invalid_blk.reshape(-1)
-        hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
-        ghi = jax.lax.all_gather(hi, "shard", tiled=True)
-        glo = jax.lax.all_gather(lo, "shard", tiled=True)
-        gvalid = jax.lax.all_gather(valid, "shard", tiled=True)
-        my = jax.lax.axis_index("shard")
-        mine = gvalid & (_owner_of(ghi, glo, n_shards) == my)
-        uhi, ulo, cnt, nu = count_kmers(ghi, glo, mine)
-        # replicate per-shard results so out_specs can be P(None) and
-        # every process reads them locally (no cross-host device fetch)
-        return (
-            jax.lax.all_gather(uhi, "shard"),
-            jax.lax.all_gather(ulo, "shard"),
-            jax.lax.all_gather(cnt, "shard"),
-            jax.lax.all_gather(nu, "shard"),
+    def make_fn(cap: int):
+        def per_device(codes_blk, invalid_blk):
+            codes_blk = codes_blk.reshape(-1)
+            invalid_blk = invalid_blk.reshape(-1)
+            hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
+            recv_hi, recv_lo, mine, any_overflow = route_to_owners(
+                hi, lo, valid, n_shards, cap
+            )
+            uhi, ulo, cnt, nu = count_kmers(recv_hi, recv_lo, mine)
+            # replicate per-shard RESULTS so out_specs can be P(None) and
+            # every process reads them locally (no cross-host device
+            # fetch); unlike the pre-round-5 path, the full extracted
+            # stream is never replicated -- only routed shares cross the
+            # network
+            return (
+                jax.lax.all_gather(uhi, "shard"),
+                jax.lax.all_gather(ulo, "shard"),
+                jax.lax.all_gather(cnt, "shard"),
+                jax.lax.all_gather(nu, "shard"),
+                jax.lax.all_gather(any_overflow, "shard"),
+            )
+
+        # check_vma=False: the all_gather-replicated outputs are
+        # replicated by construction, but shard_map cannot statically
+        # infer that
+        return jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P("shard"), P("shard")),
+                out_specs=(
+                    P(None, None),
+                    P(None, None),
+                    P(None, None),
+                    P(None),
+                    P(None),
+                ),
+                check_vma=False,
+            )
         )
 
-    # check_vma=False: the all_gather-replicated outputs are replicated
-    # by construction, but shard_map cannot statically infer that
-    fn = jax.jit(
-        jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P("shard"), P("shard")),
-            out_specs=(P(None, None), P(None, None), P(None, None), P(None)),
-            check_vma=False,
+    positions = max(int(codes.shape[0]), 1)
+    route_dispatches = 0
+    a2a_bytes_sent = 0
+    cap = int(math.ceil(capacity_factor * block / n_shards))
+    for _attempt in range(4):
+        uhi, ulo, cnt, nu, ovf = map(np.asarray, make_fn(cap)(d_codes, d_invalid))
+        route_dispatches += 1
+        # every shard sends S*cap elements x 8 B (hi+lo u32 planes)
+        a2a_bytes_sent += n_shards * (n_shards * cap) * 8
+        if int(ovf.max()) == 0:
+            break
+        cap *= 2  # exact: retry with more headroom
+    else:
+        raise RuntimeError("multihost a2a route overflowed at 16x capacity")
+    if stats is not None:
+        stats.update(
+            {
+                "k": k,
+                "route": "pair-a2a",
+                "n_shards": n_shards,
+                "n_processes": jax.process_count(),
+                "positions": positions,
+                "route_dispatches": route_dispatches,
+                "a2a_capacity": cap,
+                "a2a_bytes_per_position": round(a2a_bytes_sent / positions, 3),
+                "ici_bytes_per_position": round(
+                    a2a_bytes_sent * (n_shards - 1) / n_shards / positions, 3
+                ),
+            }
         )
-    )
-    uhi, ulo, cnt, nu = map(np.asarray, fn(d_codes, d_invalid))
     vals_parts, cnt_parts = [], []
     for s in range(n_shards):
         m = int(nu[s])
@@ -104,7 +155,7 @@ def multihost_sharded_count(codes, invalid, k: int):
 
 
 _SMOKE_WORKER = '''
-import os, sys
+import json, os, sys
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -125,7 +176,8 @@ codes = rng.integers(0, 4, size=4096, dtype=np.uint8)
 codes[rng.random(4096) < 0.02] = 255
 invalid = codes > 3
 
-vals, counts = multihost_sharded_count(codes, invalid, k)
+stats = {}
+vals, counts = multihost_sharded_count(codes, invalid, k, stats=stats)
 
 from orion_kmer_tpu import codec
 exp_v, exp_c = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
@@ -133,7 +185,7 @@ np.testing.assert_array_equal(vals, exp_v)
 np.testing.assert_array_equal(counts, exp_c)
 out = sys.argv[1]
 with open(out, "w") as f:
-    f.write(f"ok {jax.process_index()} {vals.shape[0]}")
+    f.write(f"ok {jax.process_index()} {vals.shape[0]} " + json.dumps(stats))
 '''
 
 
@@ -210,7 +262,15 @@ def run_two_process_smoke(work_dir, timeout: float = 240.0) -> dict:
         raise RuntimeError(f"unexpected smoke outputs: {r0!r} {r1!r}")
     if r0.split()[2] != r1.split()[2]:
         raise RuntimeError(f"processes disagree on unique count: {r0!r} {r1!r}")
-    return {"processes": 2, "devices": 4, "unique": int(r0.split()[2])}
+    import json
+
+    stats = json.loads(r0.split(None, 3)[3]) if len(r0.split(None, 3)) > 3 else {}
+    return {
+        "processes": 2,
+        "devices": 4,
+        "unique": int(r0.split()[2]),
+        "a2a_stats": stats,
+    }
 
 
 def maybe_initialize_distributed() -> bool:

@@ -12,10 +12,12 @@ Step layout (SURVEY.md section 2.3, "TPU-native equivalent" column):
      per-chip outputs are globally disjoint, so no second reduction is
      needed; scalar stats merge with psum
 
-Routing is currently implemented as all_gather + owner-range filter
-("route by replication"): exact, overflow-free, and ICI-friendly for the
-moderate batch sizes per step.  A capacity-bounded all_to_all fast path
-is the planned optimization once real multi-chip profiling is available.
+Routing is capacity-bounded all_to_all by default (route_to_owners:
+each chip sends only the owner's share over ICI, S times less traffic
+than replication), with exactness preserved by an overflow flag +
+doubled-capacity retry; the all_gather replication step remains as the
+overflow-proof fallback.  The same route serves the cross-process
+DCN-analog path (parallel.distributed.multihost_sharded_count).
 """
 
 from __future__ import annotations
@@ -82,86 +84,97 @@ def make_sharded_count_step(mesh: Mesh, k: int):
     return jax.jit(fn)
 
 
-def make_sharded_count_step_a2a(mesh: Mesh, k: int, capacity_factor: float = 2.0):
-    """all_to_all variant of the sharded count step.
+def route_to_owners(hi, lo, valid, n_shards: int, cap: int, axis_name: str = "shard"):
+    """Owner-route extracted (hi, lo) k-mers over the mesh axis with a
+    capacity-bounded all_to_all (the hash-range a2a route).
 
-    Instead of replicating every extracted k-mer to all chips
-    (all_gather), each chip sorts its k-mers by owner shard and sends
-    only the owner's share over ICI -- S times less traffic.  Per
-    (src, dst) capacity is ``capacity_factor * B / S``; an overflow flag
-    is returned (psum-reduced) so the caller can retry with a larger
-    factor, preserving exactness.  Uniform mix32 hashing makes overflow
-    at factor 2 vanishingly rare for non-adversarial inputs.
+    Each chip sorts its k-mers by owner shard and sends only the owner's
+    share over ICI -- S times less traffic than all_gather replication.
+    Per (src, dst) capacity is ``cap``; the returned overflow flag is
+    psum-reduced over shards so callers can retry with a larger capacity,
+    preserving exactness.  Uniform mix32 hashing makes overflow at
+    factor-2 capacity vanishingly rare for non-adversarial inputs.
+
+    Returns (recv_hi [S*cap], recv_lo [S*cap], mine bool [S*cap],
+    overflow int32 scalar).  Must be called inside shard_map over
+    ``axis_name``.  Shared by the single-process sharded step and the
+    cross-process multihost step (parallel.distributed).
+    """
+    from ..ops.count import _compact_left
+    from ..ops.kmers import SENTINEL
+    from ..ops.sort_pallas import merge_sorted_pairs
+
+    b = hi.shape[0]
+    hi = jnp.where(valid, hi, SENTINEL)
+    lo = jnp.where(valid, lo, SENTINEL)
+    owner = jnp.where(
+        valid, _owner_of(hi, lo, n_shards), jnp.uint32(n_shards)
+    )  # invalid entries sort past every real destination
+    sowner, shi, slo = jax.lax.sort((owner, hi, lo), num_keys=1)
+    dests = jnp.arange(n_shards, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow = (counts > cap).any().astype(jnp.int32)
+
+    # route each entry to slot owner*cap + rank_within_owner,
+    # scatter-free: entry dest slots are strictly increasing (owner
+    # asc, rank asc), and the unfilled slots are a sorted set, so the
+    # send buffer is a bitonic MERGE of (dest_slot, hi, lo) with
+    # (unfilled_slot, SENTINEL, SENTINEL) -- the slot keys form a
+    # permutation of 0..M-1, making merged[t] the slot-t payload.
+    M = n_shards * cap
+    idx = jnp.arange(b, dtype=jnp.int32)
+    rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
+    routed = (sowner < n_shards) & (rank < cap)
+    big = jnp.uint32(0x7FFFFFFF)
+    dest_slot = jnp.where(routed, sowner * U32(cap) + rank.astype(U32), big)
+    slot_t = jnp.arange(M, dtype=jnp.int32)
+    unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
+    (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
+    n_unfilled = unfilled.astype(jnp.int32).sum()
+    ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
+    mkey, mhi, mlo = merge_sorted_pairs(
+        dest_slot,
+        shi,
+        slo.astype(jnp.int32),
+        ukeys,
+        jnp.full((M,), SENTINEL, U32),
+        jnp.full((M,), SENTINEL, U32).astype(jnp.int32),
+    )
+    send_hi = mhi[:M]
+    send_lo = mlo[:M].astype(U32)
+
+    recv_hi = jax.lax.all_to_all(
+        send_hi.reshape(n_shards, cap), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+    recv_lo = jax.lax.all_to_all(
+        send_lo.reshape(n_shards, cap), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+
+    mine = ~((recv_hi == SENTINEL) & (recv_lo == SENTINEL))
+    any_overflow = jax.lax.psum(overflow, axis_name)
+    return recv_hi, recv_lo, mine, any_overflow
+
+
+def make_sharded_count_step_a2a(mesh: Mesh, k: int, capacity_factor: float = 2.0):
+    """all_to_all variant of the sharded count step (route_to_owners).
 
     Returns fn(codes [S*B], invalid [S*B]) ->
       (uhi [S, S*C], ulo [S, S*C], counts [S, S*C], n_unique [S],
        overflow [S] int32)
     """
-    from ..ops.kmers import SENTINEL
-
     n_shards = mesh.devices.size
 
     def per_device(codes_blk, invalid_blk):
         codes_blk = codes_blk.reshape(-1)
         invalid_blk = invalid_blk.reshape(-1)
         hi, lo, valid = extract_canonical(codes_blk, invalid_blk, k)
-        b = hi.shape[0]
-        cap = int(np.ceil(capacity_factor * b / n_shards))
-        hi = jnp.where(valid, hi, SENTINEL)
-        lo = jnp.where(valid, lo, SENTINEL)
-        owner = jnp.where(
-            valid, _owner_of(hi, lo, n_shards), jnp.uint32(n_shards)
-        )  # invalid entries sort past every real destination
-        sowner, shi, slo = jax.lax.sort((owner, hi, lo), num_keys=1)
-        dests = jnp.arange(n_shards, dtype=jnp.uint32)
-        starts = jnp.searchsorted(sowner, dests, side="left").astype(jnp.int32)
-        ends = jnp.searchsorted(sowner, dests, side="right").astype(jnp.int32)
-        counts = ends - starts
-        overflow = (counts > cap).any().astype(jnp.int32)
-
-        # route each entry to slot owner*cap + rank_within_owner,
-        # scatter-free: entry dest slots are strictly increasing (owner
-        # asc, rank asc), and the unfilled slots are a sorted set, so the
-        # send buffer is a bitonic MERGE of (dest_slot, hi, lo) with
-        # (unfilled_slot, SENTINEL, SENTINEL) -- the slot keys form a
-        # permutation of 0..M-1, making merged[t] the slot-t payload.
-        from ..ops.count import _compact_left
-        from ..ops.sort_pallas import merge_sorted_pairs
-
-        M = n_shards * cap
-        idx = jnp.arange(b, dtype=jnp.int32)
-        rank = idx - starts[jnp.clip(sowner, 0, n_shards - 1).astype(jnp.int32)]
-        routed = (sowner < n_shards) & (rank < cap)
-        big = jnp.uint32(0x7FFFFFFF)
-        dest_slot = jnp.where(
-            routed, sowner * U32(cap) + rank.astype(U32), big
+        cap = int(np.ceil(capacity_factor * hi.shape[0] / n_shards))
+        recv_hi, recv_lo, mine, any_overflow = route_to_owners(
+            hi, lo, valid, n_shards, cap
         )
-        slot_t = jnp.arange(M, dtype=jnp.int32)
-        unfilled = (slot_t % cap) >= jnp.repeat(counts, cap, total_repeat_length=M)
-        (ukeys,) = _compact_left([slot_t.astype(U32)], unfilled)
-        n_unfilled = unfilled.astype(jnp.int32).sum()
-        ukeys = jnp.where(slot_t < n_unfilled, ukeys, big)
-        mkey, mhi, mlo = merge_sorted_pairs(
-            dest_slot,
-            shi,
-            slo.astype(jnp.int32),
-            ukeys,
-            jnp.full((M,), SENTINEL, U32),
-            jnp.full((M,), SENTINEL, U32).astype(jnp.int32),
-        )
-        send_hi = mhi[:M]
-        send_lo = mlo[:M].astype(U32)
-
-        recv_hi = jax.lax.all_to_all(
-            send_hi.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
-        ).reshape(-1)
-        recv_lo = jax.lax.all_to_all(
-            send_lo.reshape(n_shards, cap), "shard", split_axis=0, concat_axis=0
-        ).reshape(-1)
-
-        mine = ~((recv_hi == SENTINEL) & (recv_lo == SENTINEL))
         uhi, ulo, cnt, nu = count_kmers(recv_hi, recv_lo, mine)
-        any_overflow = jax.lax.psum(overflow, "shard")
         return uhi[None], ulo[None], cnt[None], nu[None], any_overflow[None]
 
     fn = jax.shard_map(

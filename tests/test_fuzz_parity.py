@@ -81,3 +81,191 @@ def test_count_fastq_multiline_fasta_mix(tmp_path):
         for l in out.read_text().strip().splitlines()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round 5 (VERDICT r4 #6): differential fuzzing over query / classify /
+# sketch -- the commands with the subtlest semantics -- with compressed
+# inputs and a TINY default batch so records straddle batch/halo splits
+# (engine.query_file rolling buffer, iter_packed_batches halos).
+# ---------------------------------------------------------------------------
+
+_EXTS = ["", ".gz", ".xz", ".zst"]
+
+
+def _tiny_batch(monkeypatch):
+    """Force a 640-position device batch through every CLI path so
+    multi-batch layouts + (k-1) halos dominate the fuzz cases."""
+    import orion_kmer_tpu.engine as engine
+
+    monkeypatch.setattr(engine, "_DEFAULT_BATCH", 640)
+
+
+def _random_reads(rng, n, k, genome=None, max_len=90):
+    """FASTQ reads: planted genome slices, random, short (<k), N-heavy,
+    lowercase, and duplicate IDs."""
+    reads = []
+    for i in range(n):
+        kind = rng.integers(0, 5)
+        if kind == 0 and genome:
+            start = int(rng.integers(0, max(1, len(genome) - max_len)))
+            seq = genome[start : start + int(rng.integers(k, max_len))]
+        elif kind == 1:
+            seq = "".join(rng.choice(list("ACGTN"), size=int(rng.integers(1, k))))
+        else:
+            seq = "".join(
+                rng.choice(
+                    list("ACGTacgtNn"),
+                    size=int(rng.integers(1, max_len)),
+                    p=[0.22, 0.22, 0.22, 0.22, 0.04, 0.02, 0.02, 0.02, 0.01, 0.01],
+                )
+            )
+        rid = f"read{i % max(1, n - 3)}"  # a few duplicate IDs
+        reads.append((rid, seq))
+    return reads
+
+
+@pytest.mark.parametrize("seed,k,min_hits", [(20, 9, 1), (21, 15, 3), (22, 31, 2)])
+def test_query_cli_fuzz(tmp_path, monkeypatch, seed, k, min_hits):
+    """query semantics: multiplicity hit counting (query_tests.rs:121-125),
+    reads < k dropped, input order kept, duplicate IDs each reported."""
+    _tiny_batch(monkeypatch)
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=1500))
+    gfile = write_file(tmp_path / f"g.fa{_EXTS[seed % 4]}", f">g\n{genome}\n")
+    db_path = tmp_path / "g.db"
+    assert run_cli("build", "-k", k, "-g", gfile, "-o", db_path) == 0
+    db_set = set(
+        codec.extract_kmers_np(codec.seq_to_codes(genome.encode()), k).tolist()
+    )
+
+    reads = _random_reads(rng, 60, k, genome)
+    rfile = write_file(
+        tmp_path / f"reads.fq{_EXTS[(seed + 1) % 4]}",
+        "".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n" for rid, seq in reads),
+    )
+    out = tmp_path / "hits.txt"
+    assert run_cli("query", "-d", db_path, "-r", rfile, "-o", out, "-c", min_hits) == 0
+
+    exp = []
+    for rid, seq in reads:
+        vals = codec.extract_kmers_np(codec.seq_to_codes(seq.encode()), k)
+        hits = sum(1 for v in vals.tolist() if v in db_set)  # with multiplicity
+        if hits >= min_hits:
+            exp.append(rid)
+    assert out.read_text().splitlines() == exp
+
+
+@pytest.mark.parametrize("seed,k,min_freq,min_cov", [(30, 7, 1, 0.0), (31, 13, 2, 0.25)])
+def test_classify_cli_fuzz(tmp_path, monkeypatch, seed, k, min_freq, min_cov):
+    """classify semantics: min-kmer-frequency filter BEFORE matching
+    (classify.rs:196-199), breadth gate (classify.rs:247), depth summed
+    over FILTERED input counts, overall stats over the union."""
+    _tiny_batch(monkeypatch)
+    rng = np.random.default_rng(seed)
+    genomes = {}
+    gpaths = []
+    for i in range(4):
+        g = "".join(rng.choice(list("ACGT"), size=int(rng.integers(200, 900))))
+        name = f"ref{i}.fa{_EXTS[(seed + i) % 4]}"
+        genomes[name] = g
+        gpaths.append(write_file(tmp_path / name, f">r{i}\n{g}\n"))
+    db_path = tmp_path / "refs.db"
+    assert run_cli("build", "-k", k, "-g", *gpaths, "-o", db_path) == 0
+
+    # input: slices of two refs + noise, multi-record, N runs
+    recs = _random_reads(rng, 25, k, genomes[sorted(genomes)[0]], max_len=400)
+    recs += _random_reads(rng, 10, k, genomes[sorted(genomes)[1]], max_len=400)
+    inp = write_file(
+        tmp_path / f"in.fa{_EXTS[(seed + 2) % 4]}",
+        "".join(f">{rid}.{i}\n{seq}\n" for i, (rid, seq) in enumerate(recs)),
+    )
+    out = tmp_path / "out.json"
+    assert (
+        run_cli(
+            "classify", "-i", inp, "-d", db_path, "-o", out,
+            "--min-kmer-frequency", min_freq, "--min-coverage", min_cov,
+        )
+        == 0
+    )
+
+    # numpy oracle
+    input_counts: dict[int, int] = {}
+    for _rid, seq in recs:
+        for v in codec.extract_kmers_np(codec.seq_to_codes(seq.encode()), k).tolist():
+            input_counts[v] = input_counts.get(v, 0) + 1
+    filtered = {v: c for v, c in input_counts.items() if c >= min_freq}
+
+    import json as _json
+
+    doc = _json.loads(out.read_text())
+    # AFTER-filter count (classify.rs:201,316)
+    assert doc["total_unique_kmers_in_input"] == len(filtered)
+    db_res = doc["databases_analyzed"][0]
+    got_refs = {r["reference_name"]: r for r in db_res["references"]}
+    union_matched = set()
+    exp_included = set()
+    for name, g in genomes.items():
+        ref_set = set(
+            codec.extract_kmers_np(codec.seq_to_codes(g.encode()), k).tolist()
+        )
+        matched = {v for v in filtered if v in ref_set}
+        union_matched |= matched
+        breadth = len(matched) / len(ref_set) if ref_set else 0.0
+        if breadth < min_cov:
+            assert name not in got_refs
+            continue
+        exp_included.add(name)
+        r = got_refs[name]
+        assert r["total_kmers_in_reference"] == len(ref_set)
+        assert r["input_kmers_hitting_reference"] == len(matched)
+        assert r["sum_depth_of_matched_kmers_in_input"] == sum(
+            filtered[v] for v in matched
+        )
+        assert r["reference_breadth_of_coverage"] == breadth
+    assert set(got_refs) == exp_included
+    assert db_res["overall_input_kmers_matched_in_db"] == len(union_matched)
+    assert db_res["overall_sum_depth_of_matched_kmers_in_input"] == sum(
+        filtered[v] for v in union_matched
+    )
+
+
+@pytest.mark.parametrize("seed,k,scaled", [(40, 11, 1), (41, 21, 7), (42, 31, 3)])
+def test_sketch_cli_fuzz(tmp_path, monkeypatch, seed, k, scaled):
+    """sketch semantics: FracMinHash keep-rule + abundances = k-mer
+    multiplicities, per input file, across batch splits."""
+    _tiny_batch(monkeypatch)
+    import json as _json
+
+    from orion_kmer_tpu.ops.hash import splitmix64_np
+
+    rng = np.random.default_rng(seed)
+    files, all_kmers = [], []
+    for i in range(2):
+        recs = _random_reads(rng, 20, k, None, max_len=500)
+        files.append(
+            write_file(
+                tmp_path / f"s{i}.fa{_EXTS[(seed + i) % 4]}",
+                "".join(f">{rid}.{j}\n{seq}\n" for j, (rid, seq) in enumerate(recs)),
+            )
+        )
+        km = [
+            codec.extract_kmers_np(codec.seq_to_codes(seq.encode()), k)
+            for _rid, seq in recs
+        ]
+        all_kmers.append(np.concatenate(km) if km else np.empty(0, np.uint64))
+    sig = tmp_path / "out.sig"
+    assert run_cli("sketch", "-k", k, "--scaled", scaled, "-i", *files, "-o", sig) == 0
+
+    doc = _json.loads(sig.read_text())
+    assert doc["k"] == k and doc["scaled"] == scaled
+    threshold = np.uint64((1 << 64) // scaled) if scaled > 1 else None
+    for i, sk in enumerate(doc["sketches"]):
+        vals, counts = np.unique(all_kmers[i], return_counts=True)
+        h = splitmix64_np(vals)
+        keep = np.ones(h.shape[0], bool) if threshold is None else h < threshold
+        order = np.argsort(h[keep])
+        exp_h = h[keep][order]
+        exp_a = counts[keep][order]
+        assert [int(x) for x in sk["hashes"]] == exp_h.tolist()
+        assert list(sk["abundances"]) == exp_a.tolist()
