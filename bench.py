@@ -6,7 +6,7 @@ lane extraction, chunked sorts + bitonic-merge tree per batch
 (ops.count.sort_canonical_packed), LSM merge-forest accumulation
 across batches (engine.DeviceCountTable), and the scatter-free
 run-length compaction at flush (ops.count.rle_compact) -- measured
-over 32M positions of synthetic uniform-random sequence on whatever
+over 8 batches of synthetic uniform-random sequence on whatever
 accelerator JAX selects.  A device-side checksum of the final unique
 table is fetched as a scalar, so nothing in the pipeline can be
 dead-code eliminated and the single fetch fences the whole chain
@@ -15,8 +15,26 @@ The final host transfer of the unique table is excluded: this machine
 reaches its chip through a ~20 MB/s tunnel, which would measure the
 tunnel, not the engine.
 
+Every batch-dependent metric is measured on TWO batch bases when they
+differ (round-5 reconciliation of the BENCH_r04 "anomalies"):
+
+* the production default (2^24 positions on TPU since the round-4
+  steady-state A/B -- 1.53x end-to-end through the tunnel), which the
+  top-level keys report for driver continuity, and
+* the 2^22 basis every round-1..3 number was recorded on, reported
+  under "alt_basis".
+
+The round-5 A/B (tools/vfy_bench_ab.py, BASELINE.md) showed the batch
+base alone moves per-step metrics by up to 1.8x (query 99.5M windows/s
+at 2^22 vs 54.9M at 2^24 against the same 2^22-unique DB; the k=21 u48
+sustained advantage is +10% at 2^22 and ~0% at 2^24 where per-batch
+chunk sorts dominate the merge forest the u48 narrowing accelerates).
+Single-shot numbers on one basis are not comparable across rounds;
+this artifact carries both bases plus a min/med/max spread per metric.
+
 Secondary metrics: the per-batch device step alone (extract + sort,
-no accumulation), and FracMinHash sketching throughput in Gbp/s.
+no accumulation), FracMinHash sketching throughput in Gbp/s, and
+query window screening throughput.
 
 vs_baseline: the reference (motroy/orion-kmer) publishes no numbers
 (BASELINE.md) and its Rust toolchain is not in this image, so the
@@ -39,15 +57,17 @@ import time
 import numpy as np
 
 K = 31
+K21 = 21
 # Positions per pipeline batch: resolved in main() to the engine's
 # backend-dependent default (2^24 on TPU since the round-4 steady-state
-# A/B, 2^22 elsewhere) so the bench measures the config a user actually
-# gets.  ORION_KMER_BATCH overrides both the engine and this.
+# A/B, 2^22 elsewhere) so the headline measures the config a user
+# actually gets.  ORION_KMER_BATCH overrides both the engine and this.
 BATCH = 0
-N_BATCHES = 8  # x BATCH positions total (128M at the TPU default)
+ALT_BATCH = 1 << 22  # rounds-1..3 comparable basis (see module docstring)
+N_BATCHES = 8  # x BATCH positions per pipeline run
 N_DISTINCT = 4  # distinct batches cycled (device memory stays bounded)
 CPU_PROXY_N = 1 << 21
-QUERY_DB_N = 1 << 22  # DB uniques for the query metric (A/B: tools/vfy_query_ab.py)
+QUERY_DB_N = 1 << 22  # DB uniques for the query metric (A/B: tools/vfy_bench_ab.py)
 QUERY_READS = 4096
 
 # Tunnel-outage resilience (round-3 postmortem: BENCH_r03.json was empty
@@ -111,31 +131,32 @@ def wait_for_backend(
         sleep(min(interval_s, remaining))
 
 
-def main() -> None:
-    # Probe before the first in-process backend touch: an outage hangs
-    # the client in the claim retry loop, which no in-process timeout
-    # can bound.  Skip under explicitly-CPU runs (tests, local dev).
-    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not wait_for_backend():
-        print("bench: device unreachable after bounded retry; aborting", file=sys.stderr)
-        raise SystemExit(1)
+def run_suite(batch: int, passes: int, rng) -> dict:
+    """Measure every batch-dependent metric at one batch base.
 
+    Returns {"batch_positions", <metric keys>, "spread_min_med_max"}.
+    Best-of-N (min time) is the reported value -- the chip's capability;
+    the spread carries the shared-chip variance story (VERDICT r4).
+    All device arrays are local, so back-to-back suites at different
+    bases do not accumulate HBM.
+    """
     import jax
     import jax.numpy as jnp
 
-    from orion_kmer_tpu.utils.jaxcache import enable_persistent_cache
+    from orion_kmer_tpu import codec  # noqa: F401  (import parity with CLI)
+    from orion_kmer_tpu.engine import (
+        DeviceCountTable,
+        _query_step_packed,
+        pack_for_transfer,
+    )
+    from orion_kmer_tpu.ops.count import (
+        rle_compact,
+        sort_canonical_packed,
+        sort_canonical_packed_single,
+        sort_canonical_packed_u48,
+    )
+    from orion_kmer_tpu.ops.sketch import sketch_packed
 
-    enable_persistent_cache()
-
-    from orion_kmer_tpu import codec
-    from orion_kmer_tpu.engine import DeviceCountTable, default_batch, pack_for_transfer
-    from orion_kmer_tpu.ops.count import rle_compact, sort_canonical_packed
-
-    global BATCH
-    BATCH = BATCH or default_batch()
-    passes = int(os.environ.get("ORION_KMER_BENCH_PASSES", "3"))
-    # per-metric spread [min, median, max] across timing passes: single-
-    # shot device metrics on a shared chip are not evidence (VERDICT r4
-    # missing #3) -- the artifact must carry its own variance story
     spread: dict[str, list[float]] = {}
 
     def record(name: str, per_pass_rates: list[float], digits: int = 1) -> float:
@@ -145,33 +166,30 @@ def main() -> None:
             round(r[len(r) // 2], digits),
             round(r[-1], digits),
         ]
-        return r[-1]  # best of N (min time): the chip's capability
+        return r[-1]
 
     def time_chained(step_fn, iters: int = 16) -> list[float]:
         """Per-iteration seconds for `passes` runs of `iters` chained
         dispatches fenced by one scalar fetch (see module docstring)."""
-        import jax.numpy as _jnp
-
-        int(step_fn(_jnp.int32(0)))  # compile + warm
+        int(step_fn(jnp.int32(0)))  # compile + warm
         dts = []
         for _ in range(passes):
             t0 = time.perf_counter()
-            carry = _jnp.int32(0)
+            carry = jnp.int32(0)
             for _ in range(iters):
                 carry = step_fn(carry)
             int(carry)
             dts.append((time.perf_counter() - t0) / iters)
         return dts
 
-    rng = np.random.default_rng(0)
     batches = []
     first_codes = None
     for _ in range(N_DISTINCT):
-        codes = rng.integers(0, 4, size=BATCH, dtype=np.uint8)
-        codes[rng.random(BATCH) < 0.001] = 255  # sparse N's
+        codes = rng.integers(0, 4, size=batch, dtype=np.uint8)
+        codes[rng.random(batch) < 0.001] = 255  # sparse N's
         if first_codes is None:
             first_codes = codes
-        lanes, inv = pack_for_transfer(codes, BATCH)
+        lanes, inv = pack_for_transfer(codes, batch)
         batches.append(
             (jax.device_put(jnp.asarray(lanes)), jax.device_put(jnp.asarray(inv)))
         )
@@ -191,7 +209,7 @@ def main() -> None:
         table = DeviceCountTable(k)
         for i in range(N_BATCHES):
             lanes, inv = batches[i % N_DISTINCT]
-            table.update_packed(lanes, inv, BATCH, BATCH)
+            table.update_packed(lanes, inv, batch, batch)
         cs = jnp.uint32(0)
         for cap in sorted(table._runs):
             hi, lo, n_dev = table._runs[cap]
@@ -200,7 +218,7 @@ def main() -> None:
 
     def run_pipeline(k: int) -> list[float]:
         pipeline(k)  # compile + warm every shape in the forest
-        windows = N_BATCHES * (BATCH - k + 1)
+        windows = N_BATCHES * (batch - k + 1)
         rates = []
         for _ in range(passes):
             t0 = time.perf_counter()
@@ -209,16 +227,15 @@ def main() -> None:
         return rates
 
     rates31 = run_pipeline(K)
-    sustained_kmers_per_s = record("sustained_k31", rates31)
-    best = (N_BATCHES * (BATCH - K + 1)) / sustained_kmers_per_s
+    sustained_k31 = record("sustained_k31", rates31)
+    pipeline_seconds = (N_BATCHES * (batch - K + 1)) / sustained_k31
 
     # k=21: the other half of the BASELINE.json north-star metric --
     # full pipeline on the 32 < 2k <= 48 narrowed-key path.
-    K21 = 21
-    sustained_k21_kmers_per_s = record("sustained_k21", run_pipeline(K21))
+    sustained_k21 = record("sustained_k21", run_pipeline(K21))
 
-    # Secondary: the per-batch device step alone (extract + global sort),
-    # checksum-consumed so nothing is DCE'd.
+    # Per-batch device step alone (extract + global sort), checksum-
+    # consumed so nothing is DCE'd.
     @jax.jit
     def step(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
@@ -228,46 +245,40 @@ def main() -> None:
         ).astype(jnp.int32) + nv
 
     dl, di = batches[0]
-    step_kmers_per_s = record(
+    step_k31 = record(
         "batch_step_k31",
-        [(BATCH - K + 1) / dt for dt in time_chained(lambda c: step(dl, di, c))],
+        [(batch - K + 1) / dt for dt in time_chained(lambda c: step(dl, di, c))],
     )
 
-    # Secondary: the k=15 single-plane batch step (2k <= 32 pipeline:
-    # 1-key sort, one value plane -- half the sort bandwidth).
-    from orion_kmer_tpu.ops.count import sort_canonical_packed_single
-
+    # k=15 single-plane batch step (2k <= 32 pipeline: 1-key sort, one
+    # value plane -- half the sort bandwidth).
     @jax.jit
     def step15(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
         slo, nv = sort_canonical_packed_single(lanes, inv, 15)
         return jnp.sum(slo, dtype=jnp.uint32).astype(jnp.int32) + nv
 
-    step15_kmers_per_s = record(
+    step_k15 = record(
         "batch_step_k15",
-        [(BATCH - 15 + 1) / dt for dt in time_chained(lambda c: step15(dl, di, c))],
+        [(batch - 15 + 1) / dt for dt in time_chained(lambda c: step15(dl, di, c))],
     )
 
-    # Secondary: the k=21 batch step on the narrowed-key u48 path
-    # ((t u32, b u16) chunk sorts: 6 bytes/element instead of 8).
-    from orion_kmer_tpu.ops.count import sort_canonical_packed_u48
-
+    # k=21 batch step on the narrowed-key u48 path ((t u32, b u16)
+    # chunk sorts: 6 bytes/element instead of 8).
     @jax.jit
     def step21(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
-        st, sb, nv = sort_canonical_packed_u48(lanes, inv, 21)
+        st, sb, nv = sort_canonical_packed_u48(lanes, inv, K21)
         return (
             jnp.sum(st, dtype=jnp.uint32) ^ jnp.sum(sb, dtype=jnp.uint32)
         ).astype(jnp.int32) + nv
 
-    step21_kmers_per_s = record(
+    step_k21 = record(
         "batch_step_k21_u48",
-        [(BATCH - 21 + 1) / dt for dt in time_chained(lambda c: step21(dl, di, c))],
+        [(batch - K21 + 1) / dt for dt in time_chained(lambda c: step21(dl, di, c))],
     )
 
-    # Secondary: FracMinHash sketching throughput (Gbp/s), wire-format path.
-    from orion_kmer_tpu.ops.sketch import sketch_packed
-
+    # FracMinHash sketching throughput (Gbp/s), wire-format path.
     @jax.jit
     def sketch_step(lanes, inv, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
@@ -278,43 +289,90 @@ def main() -> None:
 
     sketch_gbps = record(
         "sketch_gbps",
-        [BATCH / dt / 1e9 for dt in time_chained(lambda c: sketch_step(dl, di, c))],
+        [batch / dt / 1e9 for dt in time_chained(lambda c: sketch_step(dl, di, c))],
         digits=3,
     )
 
-    # Secondary: query throughput (windows screened against a DB set,
-    # multiplicity hit counting -- query.rs:87-94 semantics).
-    from orion_kmer_tpu.engine import _query_step_packed
-
-    db_n = QUERY_DB_N
-    dbv = np.unique(rng.integers(0, 1 << 62, size=db_n, dtype=np.uint64))
+    # Query throughput (windows screened against a DB set, multiplicity
+    # hit counting -- query.rs:87-94 semantics).  DB size is held at
+    # QUERY_DB_N on both bases so the batch base is the only variable;
+    # the batch x DB interaction itself is tools/vfy_bench_ab.py's job.
+    dbv = np.unique(rng.integers(0, 1 << 62, size=QUERY_DB_N, dtype=np.uint64))
     db_hi = jax.device_put(jnp.asarray((dbv >> np.uint64(32)).astype(np.uint32)))
     db_lo = jax.device_put(jnp.asarray(dbv.astype(np.uint32)))
     db_valid = jax.device_put(jnp.ones(dbv.shape[0], dtype=bool))
     nr = QUERY_READS
     starts = jnp.asarray(
-        np.sort(rng.choice(BATCH, size=nr, replace=False)).astype(np.int32)
+        np.sort(rng.choice(batch, size=nr, replace=False)).astype(np.int32)
     )
 
     # db/starts passed as ARGUMENTS: closed-over device arrays embed as
     # executable constants (a 134 MB program, ~10 min to compile)
     @jax.jit
-    def query_step(lanes, inv, starts_, dbh, dbl, dbv, carry):
+    def query_step(lanes, inv, starts_, dbh, dbl, dbv_, carry):
         inv = inv.at[0].set(inv[0] | (carry.astype(jnp.uint32) & jnp.uint32(1)))
         hits = _query_step_packed(
-            lanes, inv, starts_, dbh, dbl, dbv, K, nr, jnp.int32(BATCH)
+            lanes, inv, starts_, dbh, dbl, dbv_, K, nr, jnp.int32(batch)
         )
         return jnp.sum(hits, dtype=jnp.int32) & 0x7FFF
 
-    query_windows_per_s = record(
+    query_windows = record(
         "query_windows",
         [
-            (BATCH - K + 1) / dt
+            (batch - K + 1) / dt
             for dt in time_chained(
                 lambda c: query_step(dl, di, starts, db_hi, db_lo, db_valid, c)
             )
         ],
     )
+
+    return {
+        "batch_positions": batch,
+        "total_positions": N_BATCHES * batch,
+        "pipeline_seconds": round(pipeline_seconds, 4),
+        "sustained_k31_kmers_per_s": round(sustained_k31, 1),
+        "sustained_k21_kmers_per_s": round(sustained_k21, 1),
+        "batch_step_kmers_per_s": round(step_k31, 1),
+        "batch_step_k21_u48_kmers_per_s": round(step_k21, 1),
+        "batch_step_k15_single_plane_kmers_per_s": round(step_k15, 1),
+        "sketch_gbps_scaled1000": round(sketch_gbps, 3),
+        "query_windows_per_s": round(query_windows, 1),
+        "spread_min_med_max": spread,
+        "_first_codes": first_codes,  # stripped by main(); feeds the CPU proxy
+    }
+
+
+def main() -> None:
+    # Probe before the first in-process backend touch: an outage hangs
+    # the client in the claim retry loop, which no in-process timeout
+    # can bound.  Skip under explicitly-CPU runs (tests, local dev).
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not wait_for_backend():
+        print("bench: device unreachable after bounded retry; aborting", file=sys.stderr)
+        raise SystemExit(1)
+
+    import jax
+
+    from orion_kmer_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from orion_kmer_tpu import codec
+    from orion_kmer_tpu.engine import default_batch
+
+    batch = BATCH or default_batch()
+    passes = int(os.environ.get("ORION_KMER_BENCH_PASSES", "3"))
+
+    rng = np.random.default_rng(0)
+    suite = run_suite(batch, passes, rng)
+    first_codes = suite.pop("_first_codes")
+
+    # Alt-basis pass: same metrics on the rounds-1..3 2^22 basis so the
+    # artifact is cross-round comparable (see module docstring).  Skipped
+    # when the default IS 2^22 (CPU runs) or under ORION_KMER_BENCH_ALT=0.
+    alt = None
+    if batch != ALT_BATCH and os.environ.get("ORION_KMER_BENCH_ALT", "1") != "0":
+        alt = run_suite(ALT_BATCH, passes, np.random.default_rng(1))
+        alt.pop("_first_codes")
 
     # CPU proxy (single-core numpy, identical semantics; best of 3 --
     # the shared host's load makes single runs noisy)
@@ -327,31 +385,31 @@ def main() -> None:
         cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_kmers_per_s = (CPU_PROXY_N - K + 1) / cpu_dt
 
+    sustained = suite["sustained_k31_kmers_per_s"]
     result = {
         "metric": (
             f"sustained canonical k-mers/sec/chip (k={K}, full exact count "
             "pipeline: extract+sort+merge-forest+RLE)"
         ),
-        "value": round(sustained_kmers_per_s, 1),
+        "value": sustained,
         "unit": "kmers/s",
-        "vs_baseline": round(sustained_kmers_per_s / cpu_kmers_per_s, 3),
+        "vs_baseline": round(sustained / cpu_kmers_per_s, 3),
         "baseline_def": (
             "single-core numpy proxy of the reference's serial count loop, "
             "measured in-process"
         ),
         "cpu_proxy_kmers_per_s": round(cpu_kmers_per_s, 1),
         "device": str(jax.devices()[0]),
-        "total_positions": N_BATCHES * BATCH,
-        "pipeline_seconds": round(best, 4),
-        "batch_step_kmers_per_s": round(step_kmers_per_s, 1),
-        "sustained_k21_kmers_per_s": round(sustained_k21_kmers_per_s, 1),
-        "batch_step_k21_u48_kmers_per_s": round(step21_kmers_per_s, 1),
-        "batch_step_k15_single_plane_kmers_per_s": round(step15_kmers_per_s, 1),
-        "sketch_gbps_scaled1000": round(sketch_gbps, 3),
-        "query_windows_per_s": round(query_windows_per_s, 1),
         "timing_passes": passes,
-        "spread_min_med_max": spread,
+        **suite,
     }
+    if alt is not None:
+        result["alt_basis"] = alt
+        result["basis_note"] = (
+            "top-level = production default batch; alt_basis = the 2^22 "
+            "base rounds 1-3 reported on (query/k21 deltas between bases "
+            "are batch-base effects, not regressions -- BASELINE.md r5)"
+        )
     print(json.dumps(result))
 
 
