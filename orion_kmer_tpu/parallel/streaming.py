@@ -468,6 +468,45 @@ class ShardedCountTable:
         self._chain_cache[key] = fn
         return fn
 
+    def warm(self, size: int = 0, max_depth: int | None = None):
+        """Trace + execute the routed sort, every per-level forest merge,
+        and every flush RLE cap once on an all-invalid dummy batch, in
+        the canonical order update()/flush() would reach them for
+        uniform ``size``-position batches.
+
+        The sharded analog of engine.DeviceCountTable.warm (same two
+        reasons: deterministic persistent-cache keys from one canonical
+        trace flow, and pre-loading executables so the per-batch
+        dispatch path is stall-free on remote-load backends).  The dummy
+        batch is all N's, so every routed stream carries n_valid = 0;
+        results are discarded and self._runs, the accumulated table,
+        and stats are untouched.
+        """
+        from ..engine import default_batch
+
+        size = size or default_batch()
+        if max_depth is None:
+            max_depth = max((self.FLUSH_WINDOWS // size).bit_length() - 1, 0)
+        S = self.n_shards
+        codes = np.full(size, 255, np.uint8)
+        blk_codes, blk_invalid, stride = _shard_blocks(codes, codes > 3, self.k, S)
+        block = -(-stride // 32) * 32  # same rounding as update()
+        lanes, inv_words = _pack_blocks(
+            blk_codes.reshape(S, -1), blk_invalid.reshape(S, -1), block
+        )
+        sharding = NamedSharding(self.mesh, P("shard", None))
+        d_codes = jax.device_put(lanes, sharding)
+        d_invalid = jax.device_put(inv_words, sharding)
+        cap = int(np.ceil(self.capacity_factor * block / S))
+        out = self._route_fn(cap, self.capacity_factor)(d_codes, d_invalid)
+        run = out[:-1]  # (planes..., n_valid) without the overflow flag
+        c = S * cap  # the run key update() would store this batch under
+        for level in range(max_depth + 1):
+            self._flush_fn(c)(*run)
+            if level < max_depth:
+                run = self._merge_fn(c)(*run, *run)
+                c *= 2
+
     def update(self, codes: np.ndarray, invalid: np.ndarray | None = None):
         if codes.shape[0] == 0:
             return

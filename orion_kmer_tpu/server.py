@@ -94,23 +94,37 @@ def serve(socket_path, warm_ks=(), on_ready=None) -> None:
 
     ``warm_ks`` pre-warms the count ladder (batch sort + per-level
     merges + flush caps, engine.DeviceCountTable.warm) for those k so
-    the first real request skips the executable-load ladder.
+    the first real request skips the executable-load ladder.  Warming
+    happens BEFORE the socket is bound, so the socket's existence IS
+    the readiness signal — a client that can connect never silently
+    absorbs the multi-minute ladder into its first request.  Like
+    ``engine.count_file``, warming is a remote-load amortization and
+    only runs on the TPU backend (on CPU/GPU compiles are cheap and
+    the full-depth chain is pathologically expensive to build).
     ``on_ready`` fires once listening (tests use it to rendezvous).
     """
     path = os.fspath(socket_path)
     with contextlib.suppress(FileNotFoundError):
         os.unlink(path)
+    if warm_ks:
+        import jax
+
+        from .engine import _make_count_table
+
+        if jax.default_backend() == "tpu" and os.environ.get(
+            "ORION_KMER_WARM", "1"
+        ) != "0":
+            for k in warm_ks:
+                # single-chip DeviceCountTable or multi-chip
+                # ShardedCountTable -- both warm their full ladder
+                _make_count_table(int(k)).warm()
+                print(f"[serve] warmed count ladder for k={k}", file=sys.stderr)
+        else:
+            print("[serve] warm-up skipped (non-TPU backend)", file=sys.stderr)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     try:
         srv.bind(path)
         srv.listen(8)
-        for k in warm_ks:
-            from .engine import DeviceCountTable, _make_count_table
-
-            table = _make_count_table(int(k))
-            if isinstance(table, DeviceCountTable):
-                table.warm()
-            print(f"[serve] warmed count ladder for k={k}", file=sys.stderr)
         if on_ready is not None:
             on_ready()
         print(f"[serve] listening on {path}", file=sys.stderr, flush=True)

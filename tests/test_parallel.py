@@ -174,6 +174,32 @@ class TestShardedCountTable:
         np.testing.assert_array_equal(res[0][0], res[1][0])
         np.testing.assert_array_equal(res[0][1], res[1][1])
 
+    def test_warm_is_stateless_and_results_stay_exact(self):
+        """warm() pre-traces the route/merge/flush ladder (serve --warm-k
+        on a multi-chip mesh) without touching runs, stats, or the
+        accumulated table; a post-warm stream must stay oracle-exact."""
+        from orion_kmer_tpu import codec
+        from orion_kmer_tpu.parallel import make_mesh
+        from orion_kmer_tpu.parallel.streaming import ShardedCountTable
+
+        rng = np.random.default_rng(34)
+        k = 17
+        t = ShardedCountTable(k, mesh=make_mesh(n_devices=4))
+        t.warm(size=2048, max_depth=2)
+        assert t._runs == {} and t._table is None
+        assert t.stats["positions"] == 0 and t.stats["updates"] == 0
+        # the ladder it would reach for 2048-position batches is cached:
+        # route at one cap, merges/flushes at that key and two doublings
+        kinds = {key[0] for key in t._chain_cache}
+        assert {"route", "merge", "flush"} <= kinds
+        codes = rng.integers(0, 4, size=2048, dtype=np.uint8)
+        codes[rng.random(2048) < 0.02] = 255
+        t.update(codes)
+        vals, cnts = t.result()
+        ev, ec = np.unique(codec.extract_kmers_np(codes, k), return_counts=True)
+        np.testing.assert_array_equal(vals, ev)
+        np.testing.assert_array_equal(cnts, ec)
+
     def test_mid_stream_flush_accumulates(self):
         from orion_kmer_tpu import codec
         from orion_kmer_tpu.parallel.streaming import ShardedCountTable
